@@ -1,0 +1,126 @@
+"""3D-surface machinery: tangent frames, diffusion, tangent-space perception.
+
+Reference: code/nca.py:302-336 (normalize, orthogonalize, diffuse,
+project_tangent_space, feature_process_tangent) and the per-step tangent
+re-spreading in ``sample_mesh`` (nca.py:352-357).
+
+The reference hard-codes h=0.1, dims=20 for the tangent diffusion grid
+(nca.py:357) and rebuilds that hash grid every step; here the diffusion
+graph is built once (positions are static) and reused across the scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.hashgrid import SPHGraph
+from ..ops.neighbor_ops import graph_blur
+from .nca import PerceptionTransform, cell_activity
+
+Array = jnp.ndarray
+
+# Reference defaults for the diffusion neighborhood (nca.py:357).
+DIFFUSE_H = 0.1
+DIFFUSE_DIMS = 20
+
+
+def normalize(v: Array, eps: float = 1e-8) -> Array:
+    """v / (eps + |v|) (reference nca.py:303-305)."""
+    return v / (eps + jnp.linalg.norm(v, axis=-1, keepdims=True))
+
+
+def orthogonalize(n: Array, t: Array) -> Array:
+    """Gram-Schmidt t against n, renormalized (reference nca.py:307-310)."""
+    nt = jnp.sum(n * t, axis=-1, keepdims=True)
+    return normalize(t - n * nt)
+
+
+def diffuse(
+    n: Array,
+    t: Array,
+    A: Array,
+    diffuse_graph: SPHGraph,
+    *,
+    lerp_multiplier: float = 1.0,
+    w_multiplier: float = 1.0,
+) -> Array:
+    """Activity-weighted tangent-direction diffusion (reference nca.py:312-323).
+
+    blur([m, m*T]) -> T2 = blurred_mT / blurred_m -> lerp toward T where the
+    cell is active -> re-orthogonalize against the normal.
+    """
+    w = jnp.clip(cell_activity(A)[..., None], 0.0, 1.0)
+    m = (1.0 - w_multiplier) + w * w_multiplier  # lerp(1, w, w_mult)
+    mt = jnp.concatenate([m, m * t], axis=-1)
+    mt2 = graph_blur(diffuse_graph, mt)
+    t2 = mt2[..., 1:] / (1e-8 + mt2[..., :1])
+    t2 = t2 + (t - t2) * (w * lerp_multiplier)  # lerp(t2, t, w*lerp_mult)
+    return orthogonalize(n, t2)
+
+
+def project_tangent_space(gA: Array, n: Array, t: Array) -> Array:
+    """Rotate perception vectors into the local TBN frame
+    (reference nca.py:325-330): out[..., k] = gA . {T, B, N}[k]."""
+    b = jnp.cross(n, t)
+    tbn = jnp.stack([t, b, n], axis=-1)  # [N, 3, 3]
+    return jnp.einsum("ncd,ndk->nck", gA, tbn)
+
+
+def tangent_perception(n: Array, t: Array) -> PerceptionTransform:
+    """Perception transform for mesh rollouts (reference nca.py:332-336)."""
+
+    def transform(gA: Array) -> Array:
+        return project_tangent_space(gA, n, t)
+
+    return transform
+
+
+def rollout_mesh(
+    params,
+    cfg,
+    graph: SPHGraph,
+    diffuse_graph: SPHGraph,
+    A0: Array,
+    n: Array,
+    t0: Array,
+    key: Array,
+    n_steps: int,
+    h,
+    *,
+    fire_rate: Optional[float] = None,
+    lerp_multiplier: float = 1.0,
+    w_multiplier: float = 1.0,
+    collect_all: bool = False,
+):
+    """Mesh/3D-surface rollout (reference ``sample_mesh``, nca.py:338-381).
+
+    Per step: NCA forward with tangent-projected perception, then tangent
+    field diffusion (detached, nca.py:357). Returns (final_A, final_T,
+    states or None) where states is [n_steps+1, N, C] when collect_all.
+    """
+    from .nca import nca_step  # local import to avoid cycle
+
+    def body(carry, step_i):
+        A, t = carry
+        nA = nca_step(
+            params, cfg, graph, A, jax.random.fold_in(key, step_i), h,
+            fire_rate=fire_rate, perception_transform=tangent_perception(n, t),
+        )
+        nt = jax.lax.stop_gradient(
+            diffuse(
+                n, t, nA, diffuse_graph,
+                lerp_multiplier=lerp_multiplier, w_multiplier=w_multiplier,
+            )
+        )
+        out = nA if collect_all else None
+        return (nA, nt), out
+
+    (final_A, final_t), states = jax.lax.scan(
+        body, (A0, t0), jnp.arange(n_steps)
+    )
+    if collect_all:
+        states = jnp.concatenate([A0[None], states], axis=0)
+    return final_A, final_t, states

@@ -1,0 +1,167 @@
+"""SPH operators over fixed-K neighbor lists.
+
+Two tiers, mirroring how the reference splits L2 autograd wrappers
+(code/sphops/ops/func.py) from L1 device kernels (operators_batch.py):
+
+  * `volume / gradient / divergence / blur / count (x, ..., nl)` —
+    general ops that recompute kernel weights from positions. Fully
+    differentiable w.r.t. both ``x`` and ``A`` via JAX autodiff (the
+    reference needs ~700 lines of hand-derived backward kernels for this;
+    autodiff through the gather form gives the identical gather-style
+    adjoint for free because each output row only reads its own
+    neighborhood).
+
+  * `graph_gradient / graph_blur / graph_divergence (graph, A)` —
+    the rollout fast path over a prebuilt `SPHGraph` with precomputed
+    edge weights (positions are constants of a rollout). Differentiable
+    w.r.t. ``A``; gradients w.r.t. ``x`` flow only through the general ops.
+
+All functions take a single cloud [N, ...]; batch with `jax.vmap`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import kernels as K
+from .hashgrid import NeighborList, SPHGraph, minimum_image
+
+Array = jnp.ndarray
+
+
+def _pair_geometry(x: Array, nl: NeighborList, period: Optional[Array]):
+    r = minimum_image(x[nl.idx] - x[:, None, :], period)  # [N, K, D]
+    d2 = jnp.sum(r * r, axis=-1)  # [N, K]
+    return r, d2
+
+
+def volume(
+    x: Array,
+    h,
+    nl: NeighborList,
+    *,
+    smoothing: str = K.DEFAULT_SMOOTHING,
+    period: Optional[Array] = None,
+) -> Array:
+    """v_i = 1 / (sigma_W sum_j W(r_ij)). Reference: operators_batch.py:17-77."""
+    dim = x.shape[-1]
+    kern = K.get_smoothing_kernel(smoothing)
+    _, d2 = _pair_geometry(x, nl, period)
+    w = jnp.where(nl.valid, kern.w(d2, h), 0.0)
+    return 1.0 / (kern.norm(h, dim) * jnp.sum(w, axis=-1))
+
+
+def gradient(
+    x: Array,
+    v: Array,
+    A: Array,
+    h,
+    nl: NeighborList,
+    *,
+    gradient_kernel: str = K.DEFAULT_GRADIENT,
+    period: Optional[Array] = None,
+) -> Array:
+    """GA_i = sigma_g sum_j (A_j - A_i) gk(r_ij) v_j; [N,F] -> [N,F,D].
+
+    Reference: operators_batch.py:159-235 (forward), :238-343 (adjoint —
+    here via autodiff).
+    """
+    dim = x.shape[-1]
+    kern = K.get_gradient_kernel(gradient_kernel)
+    r, _ = _pair_geometry(x, nl, period)
+    gk = jnp.where(nl.valid[..., None], kern.grad(r, h), 0.0)
+    gv = gk * (v[nl.idx] * nl.valid)[..., None]  # [N, K, D]
+    dA = A[nl.idx] - A[:, None, :]  # [N, K, F]
+    return kern.norm(h, dim) * jnp.einsum(
+        "nkf,nkd->nfd", dA, gv, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def divergence(
+    x: Array,
+    v: Array,
+    A: Array,
+    h,
+    nl: NeighborList,
+    *,
+    gradient_kernel: str = K.DEFAULT_GRADIENT,
+    period: Optional[Array] = None,
+) -> Array:
+    """DA_i = sigma_g sum_j v_j (A_j - A_i) . gk; [N,F,D] -> [N,F].
+
+    Reference: operators_batch.py:347-424.
+    """
+    dim = x.shape[-1]
+    kern = K.get_gradient_kernel(gradient_kernel)
+    r, _ = _pair_geometry(x, nl, period)
+    gk = jnp.where(nl.valid[..., None], kern.grad(r, h), 0.0)
+    gv = gk * (v[nl.idx] * nl.valid)[..., None]  # [N, K, D]
+    dA = A[nl.idx] - A[:, None, :, :]  # [N, K, F, D]
+    return kern.norm(h, dim) * jnp.einsum(
+        "nkfd,nkd->nf", dA, gv, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def blur(
+    x: Array,
+    v: Array,
+    A: Array,
+    h,
+    nl: NeighborList,
+    *,
+    smoothing: str = K.DEFAULT_SMOOTHING,
+    period: Optional[Array] = None,
+) -> Array:
+    """SA_i = sigma_W sum_j A_j W(r_ij) v_j. Reference: operators_batch.py:601-671."""
+    dim = x.shape[-1]
+    kern = K.get_smoothing_kernel(smoothing)
+    _, d2 = _pair_geometry(x, nl, period)
+    wv = jnp.where(nl.valid, kern.w(d2, h), 0.0) * (v[nl.idx] * nl.valid)
+    return kern.norm(h, dim) * jnp.einsum(
+        "nk,nkf->nf", wv, A[nl.idx], precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def count(
+    x: Array,
+    h,
+    nl: NeighborList,
+    *,
+    period: Optional[Array] = None,
+) -> Array:
+    """Neighbor count within h (includes self). Reference: operators_batch.py:537-597."""
+    _, d2 = _pair_geometry(x, nl, period)
+    return jnp.sum(nl.valid & (d2 < h * h), axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fast path: ops over a prebuilt SPHGraph (precomputed edge weights)
+# ---------------------------------------------------------------------------
+
+
+def graph_gradient(g: SPHGraph, A: Array) -> Array:
+    """[N, F] -> [N, F, D] using precomputed gv; the NCA perception op.
+
+    Uses sum_j (A_j - A_i) gv_ij = sum_j A_j gv_ij - A_i * gv_sum_i to avoid
+    materializing the [N, K, F] difference tensor.
+    """
+    ga = jnp.einsum("nkf,nkd->nfd", A[g.idx], g.gv,
+                    precision=jax.lax.Precision.HIGHEST)
+    return ga - A[:, :, None] * g.gv_sum[:, None, :]
+
+
+def graph_blur(g: SPHGraph, A: Array) -> Array:
+    """[N, F] -> [N, F] using precomputed wv."""
+    return jnp.einsum("nk,nkf->nf", g.wv, A[g.idx],
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def graph_divergence(g: SPHGraph, A: Array) -> Array:
+    """[N, F, D] -> [N, F] using precomputed gv."""
+    da = jnp.einsum("nkfd,nkd->nf", A[g.idx], g.gv,
+                    precision=jax.lax.Precision.HIGHEST)
+    return da - jnp.einsum("nfd,nd->nf", A, g.gv_sum,
+                           precision=jax.lax.Precision.HIGHEST)
