@@ -1,0 +1,337 @@
+"""Training system: jitted train step + pool orchestration.
+
+Re-design of the reference training loop (train.py:295-318 +
+nca.sample_plane:124-164):
+
+  * the entire rollout + loss + backward + optimizer update is ONE jitted
+    function (the reference pays a host sync per CUDA op launch);
+  * the neighbor graph is built once per geometry and closed over;
+  * rollout length is a *traced* argument, bucketed to multiples of
+    ``STEP_BUCKET`` so the progressive-growing schedule (train.py:297-300)
+    and the random 32..48-step draws compile O(6) programs, not O(48);
+  * the 4 random auxiliary-loss states (nca.py:149-150) are chosen up front
+    and collected inside the scan.
+
+Optimizer = optax Adam + the reference's LinearLR (1.0 -> 0.1 over 2000
+iters, train.py:285) + optional per-parameter gradient normalization
+g / (|g| + 1e-8) applied before Adam (nca.py:119-122).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.nca import MLPParams, SPHNCAConfig
+from ..models.rollout import rollout_batch
+from ..ops.hashgrid import SPHGraph
+from .pool import Pool
+
+Array = jnp.ndarray
+
+STEP_BUCKET = 8  # rollout-length quantization for jit caching
+
+
+class LossBundle(NamedTuple):
+    """Loss functions for one training mode.
+
+    per_sample(x, A, key) -> scalar      (pool ranking + reporting)
+    batch_total(x, A_batch, key) -> scalar  (the trained objective;
+        reductions over the batch must match the reference's packed-batch
+        semantics — see make_mse_bundle)
+    """
+
+    per_sample: Callable[[Array, Array, Array], Array]
+    batch_total: Callable[[Array, Array, Array], Array]
+
+
+def make_mse_bundle(img: Array, mse_cfg) -> LossBundle:
+    """Image-mode losses (reference losses.py:17-42).
+
+    The reference evaluates the loss over the *packed* batch [B*N, ...]:
+    MSE therefore averages over B*N*4 while the overflow term is a sum over
+    everything. Equivalent batched form: mean_B(mse_b) + w * sum_B(of_b).
+    """
+    from .losses import mse_loss, overflow_penalty, rgba_with_margin
+    from ..utils.geometry import bilinear_sample
+
+    def per_sample(x, A, key=None):
+        return mse_loss(x, A, img, mse_cfg)
+
+    def batch_total(x, A_batch, key=None):
+        img_gmin = jnp.asarray(mse_cfg.gmin, jnp.float32) * mse_cfg.image_scale
+        img_gsize = jnp.asarray(mse_cfg.gsize, jnp.float32) * mse_cfg.image_scale
+        img_x = bilinear_sample(x, img, img_gmin, img_gsize)  # [N, 4]
+
+        def one(A):
+            rgba = rgba_with_margin(A, mse_cfg.use_alpha, margin=None)
+            return jnp.mean((rgba - img_x) ** 2), overflow_penalty(A)
+
+        mse_b, of_b = jax.vmap(one)(A_batch)
+        return jnp.mean(mse_b) + mse_cfg.overflow_weight * jnp.sum(of_b)
+
+    return LossBundle(per_sample=per_sample, batch_total=batch_total)
+
+
+def make_ot_bundle(target_img: Array, feature_fn, ot_cfg) -> LossBundle:
+    """Exemplar-mode losses (reference losses.py:44-70)."""
+    from .losses import ot_loss
+
+    target_rgb = target_img[..., :3]
+    target_feats = [jax.lax.stop_gradient(f) for f in feature_fn(target_rgb)]
+
+    def per_sample(x, A, key):
+        return ot_loss(x, A, target_feats, target_rgb, feature_fn, key, ot_cfg)
+
+    def batch_total(x, A_batch, key):
+        keys = jax.random.split(key, A_batch.shape[0])
+        losses = jax.vmap(lambda A, k: per_sample(x, A, k))(A_batch, keys)
+        return jnp.mean(losses)
+
+    return LossBundle(per_sample=per_sample, batch_total=batch_total)
+
+
+def make_clip_bundle(text_features: Array, encode_image, clip_cfg) -> LossBundle:
+    """Text-mode losses (reference losses.py:72-102)."""
+    from .losses import clip_loss
+
+    def per_sample(x, A, key):
+        return clip_loss(x, A, text_features, encode_image, key, clip_cfg)
+
+    def batch_total(x, A_batch, key):
+        keys = jax.random.split(key, A_batch.shape[0])
+        losses = jax.vmap(lambda A, k: per_sample(x, A, k))(A_batch, keys)
+        return jnp.mean(losses)
+
+    return LossBundle(per_sample=per_sample, batch_total=batch_total)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer (reference train.py:283-285, nca.py:119-122)
+# ---------------------------------------------------------------------------
+
+
+def normalize_grads() -> optax.GradientTransformation:
+    """Per-parameter g / (|g| + 1e-8) (reference normalize_grads)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        updates = jax.tree.map(
+            lambda g: g / (jnp.linalg.norm(g) + 1e-8), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(
+    lr: float = 3e-3,
+    *,
+    end_factor: float = 0.1,
+    decay_steps: int = 2000,
+    grad_norm: bool = True,
+) -> optax.GradientTransformation:
+    schedule = optax.linear_schedule(
+        init_value=lr, end_value=lr * end_factor, transition_steps=decay_steps
+    )
+    chain = []
+    if grad_norm:
+        chain.append(normalize_grads())
+    chain.append(optax.adam(schedule))
+    return optax.chain(*chain)
+
+
+# ---------------------------------------------------------------------------
+# Progressive growing (reference train.py:92-94, 297-300)
+# ---------------------------------------------------------------------------
+
+
+def progressive_steps(
+    i: int,
+    steps_range: Tuple[int, int],
+    steps_increment: int,
+    rng: np.random.Generator,
+) -> int:
+    """Rollout length for training iteration i."""
+    lo, hi = steps_range
+    mean = (lo + hi) // 2
+    if steps_increment > 0 and i < mean * steps_increment:
+        return i // steps_increment + 1
+    return int(rng.integers(lo, hi))  # [lo, hi) as torch.randint
+
+
+def bucket_steps(n: int, cap: int) -> int:
+    """Round n up to a multiple of STEP_BUCKET (static scan length)."""
+    b = ((n + STEP_BUCKET - 1) // STEP_BUCKET) * STEP_BUCKET
+    return min(max(b, STEP_BUCKET), max(cap, STEP_BUCKET))
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Training hyper-parameters (defaults = reference train.py:27-61)."""
+
+    batch_size: int = 8
+    pool_size: int = 1024
+    training_iter: int = 8000
+    steps_range: Tuple[int, int] = (32, 48)
+    steps_increment: int = 5
+    lr: float = 3e-3
+    lr_end_factor: float = 0.1
+    lr_decay_steps: int = 2000
+    normalize_grads: bool = True
+    aux_states: int = 4  # random intermediate states in the loss
+    aux_weight: float = 0.1
+    degrade_prob: float = 0.0
+    erase_radius: float = 0.0
+    seed: int = 0
+
+
+class Trainer:
+    """End-to-end trainer for plane (and wrapped-plane) texture NCA.
+
+    Geometry is fixed: one SPHGraph serves the pool, the rollouts, and the
+    loss (reference pool slots all share the seed grid, train.py:236-250).
+    """
+
+    def __init__(
+        self,
+        model_cfg: SPHNCAConfig,
+        train_cfg: TrainConfig,
+        graph: SPHGraph,
+        x: Array,  # [N, D] particle positions
+        loss: LossBundle,
+        h: float,
+        *,
+        params: Optional[MLPParams] = None,
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.graph = graph
+        self.x = x
+        self.loss = loss
+        self.h = h
+
+        self.np_rng = np.random.default_rng(train_cfg.seed)
+        self.key = jax.random.key(train_cfg.seed)
+
+        from ..models.nca import init_params
+
+        if params is None:
+            self.key, k = jax.random.split(self.key)
+            params = init_params(k, model_cfg)
+        self.params = params
+
+        self.optimizer = make_optimizer(
+            train_cfg.lr,
+            end_factor=train_cfg.lr_end_factor,
+            decay_steps=train_cfg.lr_decay_steps,
+            grad_norm=train_cfg.normalize_grads,
+        )
+        self.opt_state = self.optimizer.init(self.params)
+
+        # x for losses: the reference drops the padded z before the loss
+        # (nca.py:145-148); particle positions given here should already be
+        # the loss-space coordinates (2D for plane mode).
+        self._loss_x = x
+
+        self._step_fn = jax.jit(
+            self._train_step, static_argnames=("max_steps",)
+        )
+        self._rank_fn = jax.jit(
+            lambda A_batch, key: jax.vmap(
+                lambda A, k: self.loss.per_sample(self._loss_x, A, k)
+            )(A_batch, jax.random.split(key, A_batch.shape[0]))
+        )
+
+    # -- jitted core -------------------------------------------------------
+
+    def _train_step(
+        self,
+        params: MLPParams,
+        opt_state,
+        A0: Array,  # [B, N, C]
+        key: Array,
+        n_steps: Array,  # traced scalar
+        collect_steps: Array,  # [aux_states] traced
+        max_steps: int,  # static bucket
+    ):
+        kroll, kloss = jax.random.split(key)
+
+        def loss_fn(params):
+            out = rollout_batch(
+                params, self.model_cfg, self.graph, A0, kroll, max_steps,
+                self.h, n_steps=n_steps, collect_steps=collect_steps,
+            )
+            total = self.loss.batch_total(self._loss_x, out.final, kloss)
+            # 0.1x losses on aux_states random intermediate states
+            # (reference nca.py:149-150)
+            for s in range(self.cfg.aux_states):
+                total = total + self.cfg.aux_weight * self.loss.batch_total(
+                    self._loss_x, out.collected[:, s],
+                    jax.random.fold_in(kloss, s),
+                )
+            return total, out.final
+
+        (loss, final), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, final
+
+    # -- host loop ---------------------------------------------------------
+
+    def run_iteration(self, i: int, pool: Pool) -> float:
+        """One training iteration (reference train.py:295-308)."""
+        idx, A0 = pool.sample(
+            self.cfg.batch_size,
+            degrade_prob=self.cfg.degrade_prob,
+            erase_radius=self.cfg.erase_radius,
+        )
+        # replace-worst ranking (reference Pool.sample(replace_worst=True))
+        self.key, krank = jax.random.split(self.key)
+        losses = np.asarray(self._rank_fn(jnp.asarray(A0), krank))
+        idx, A0 = pool.replace_worst(idx, A0, losses)
+
+        n = progressive_steps(
+            i, self.cfg.steps_range, self.cfg.steps_increment, self.np_rng
+        )
+        max_steps = bucket_steps(n, self.cfg.steps_range[1])
+        collect = self.np_rng.integers(0, n + 1, size=self.cfg.aux_states)
+
+        self.key, kstep = jax.random.split(self.key)
+        self.params, self.opt_state, loss, final = self._step_fn(
+            self.params,
+            self.opt_state,
+            jnp.asarray(A0),
+            kstep,
+            jnp.int32(n),
+            jnp.asarray(collect, jnp.int32),
+            max_steps=max_steps,
+        )
+        pool.update(idx, np.asarray(final))
+        return float(loss)
+
+    def train(
+        self,
+        pool: Pool,
+        iterations: Optional[int] = None,
+        callback: Optional[Callable[[int, float], None]] = None,
+    ):
+        iters = self.cfg.training_iter if iterations is None else iterations
+        for i in range(iters):
+            loss = self.run_iteration(i, pool)
+            if callback is not None:
+                callback(i, loss)
+        return self.params
