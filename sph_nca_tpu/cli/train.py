@@ -1,0 +1,293 @@
+"""Training CLI — flag-compatible re-design of the reference train.py.
+
+Usage:
+    python -m sph_nca_tpu.cli.train --img path/to/target.png --image_size 100 \
+        --h 0.1 --training_iter 8000 --batch_size 8 --pool_size 1024
+
+Differences from the reference (train.py):
+  * --target <emoji> resolves through a local PNG cache (no network egress
+    here) — see utils/image.load_emoji;
+  * checkpoints carry optimizer state for exact resume (the reference
+    restores weights only, train.py:266-269);
+  * a weights JSON compatible with the reference web demo is exported next
+    to every checkpoint;
+  * --use_3d controls the reference's USE_3D z-padding (default on, as
+    train.py:114 hard-codes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+
+def str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    # Flags mirror the reference CLI (train.py:27-61).
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--target", type=str, default="", help="emoji target")
+    p.add_argument("--img", type=str, default="", help="image file target")
+    p.add_argument(
+        "--initial_feature", choices=["radial", "random"], default="radial"
+    )
+    p.add_argument("--initial_feature_radius", type=float, default=-1)
+    p.add_argument(
+        "--loss",
+        choices=["mse_simple", "ot", "clip_multiscale"],
+        default="mse_simple",
+    )
+    p.add_argument("--use_alpha", type=str2bool, default=True)
+    p.add_argument("--wrap", type=str2bool, default=False)
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--target_size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--training_iter", type=int, default=8000)
+    p.add_argument("--steps_range", type=str, default="32,48")
+    p.add_argument("--steps_increment", type=int, default=5)
+    p.add_argument("--loss_weight_color", type=float, default=0.05)
+    p.add_argument("--loss_weight_clip", type=float, default=1)
+    p.add_argument("--loss_weight_overflow", type=float, default=0.05)
+    p.add_argument("--loss_weight_style", type=float, default=1)
+    p.add_argument("--clip_guide", type=str, default="")
+    p.add_argument("--clip_multiscale_scales", type=str, default="1")
+    p.add_argument("--nca_update", choices=["orig", "gated"], default="gated")
+    p.add_argument("--nca_normalize_grad", type=str2bool, default=True)
+    p.add_argument("--nca_normalize_perception", type=float, default=-1)
+    p.add_argument("--alpha_premultiply", type=str2bool, default=True)
+    p.add_argument("--pretrained_checkpoint", type=str, default="")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--pool_size", type=int, default=1024)
+    p.add_argument("--h", type=float, default=0.08)
+    p.add_argument("--output_dir", type=str, default="./checkpoints/")
+    # new flags
+    p.add_argument("--use_3d", type=str2bool, default=True,
+                   help="pad plane to 3D (reference USE_3D)")
+    p.add_argument("--channels", type=int, default=16)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--checkpoint_every", type=int, default=1000)
+    p.add_argument("--vgg_weights", type=str, default="",
+                   help="npz with VGG19 conv weights for the OT loss")
+    p.add_argument("--log_every", type=int, default=50)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import ops
+    from ..io import load_checkpoint, save_checkpoint, save_weights_json
+    from ..models import SPHNCAConfig
+    from ..training import (
+        MSELossConfig,
+        OTLossConfig,
+        CLIPLossConfig,
+        Pool,
+        TrainConfig,
+        Trainer,
+        make_mse_bundle,
+        make_ot_bundle,
+    )
+    from ..utils.geometry import grange
+    from ..utils.image import flat_color_target, load_emoji, load_image
+    from ..utils.seeds import plane_seed
+
+    h = args.h
+    m = args.image_size
+    image_scale = args.target_size / m
+    seed_radius = (
+        args.initial_feature_radius if args.initial_feature_radius > 0 else h
+    )
+    norm_perception = (
+        args.nca_normalize_perception
+        if args.nca_normalize_perception > 0
+        else 1.0 / h
+    )
+    steps_range = tuple(int(s) for s in args.steps_range.split(","))
+
+    # --- target image (reference train.py:218-234) -----------------------
+    if args.target:
+        img_np = load_emoji(
+            args.target, args.target_size, args.alpha_premultiply
+        )
+    elif args.img:
+        img_np = load_image(
+            args.img, args.target_size, args.alpha_premultiply
+        )
+    else:
+        img_np = flat_color_target(args.target_size)
+    img = jnp.asarray(img_np)
+    print(f"target image: {img.shape}")
+
+    # --- geometry + neighbor graph ---------------------------------------
+    gmin, gsize = (-1.0, -1.0), (2.0, 2.0)
+    x2 = grange((m, m), jnp.asarray(gmin), jnp.asarray(gsize)).reshape(-1, 2)
+    if args.use_3d:
+        x = jnp.pad(x2, ((0, 0), (0, 1)))  # z = 0 (reference nca.py:133-134)
+        period = (
+            jnp.asarray([gsize[0], gsize[1], 2.0]) if args.wrap else None
+        )
+    else:
+        x = x2
+        period = jnp.asarray(gsize) if args.wrap else None
+
+    dims = ops.default_dims(h)
+    mpc, k = ops.suggest_capacity(
+        np.asarray(x), h, dims, period=np.asarray(period) if args.wrap else None
+    )
+    t0 = time.time()
+    graph = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k, period=period)
+    nd = int(graph.valid.sum())
+    print(
+        f"graph: n={x.shape[0]} k={k} max_per_cell={mpc} "
+        f"({time.time() - t0:.1f}s, avg {nd / x.shape[0]:.1f} nbrs"
+        f"{', periodic' if args.wrap else ''})"
+    )
+
+    # --- model + losses ---------------------------------------------------
+    model_cfg = SPHNCAConfig(
+        channels=args.channels,
+        hidden=args.hidden,
+        fire_rate=0.5,
+        update_rule=args.nca_update,
+        use_alpha=args.use_alpha,
+        normalize_perception=norm_perception,
+    )
+
+    if args.loss == "mse_simple":
+        loss_cfg = MSELossConfig(
+            gmin=gmin,
+            gsize=gsize,
+            image_scale=image_scale,
+            overflow_weight=args.loss_weight_overflow,
+            use_alpha=args.use_alpha,
+        )
+        bundle = make_mse_bundle(img, loss_cfg)
+    elif args.loss == "ot":
+        from ..training.features import get_vgg_features
+
+        feature_fn = get_vgg_features(args.vgg_weights or None)
+        ot_cfg = OTLossConfig(
+            image_size=m,
+            style_weight=args.loss_weight_style,
+            color_weight=args.loss_weight_color,
+            overflow_weight=args.loss_weight_overflow,
+            use_alpha=args.use_alpha,
+        )
+        # target for OT is the style exemplar resampled to the particle grid
+        target_hw = jax.image.resize(img, (m, m, img.shape[-1]), "bilinear")
+        bundle = make_ot_bundle(target_hw, feature_fn, ot_cfg)
+    else:
+        raise SystemExit(
+            "clip_multiscale requires pretrained CLIP weights, which this "
+            "offline environment cannot fetch; see training/features.py "
+            "for the loader hooks."
+        )
+
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        pool_size=args.pool_size,
+        training_iter=args.training_iter,
+        steps_range=steps_range,
+        steps_increment=args.steps_increment,
+        lr=args.lr,
+        normalize_grads=args.nca_normalize_grad,
+        seed=args.seed,
+    )
+
+    params = None
+    if args.pretrained_checkpoint:
+        ck = load_checkpoint(args.pretrained_checkpoint)
+        params = ck["params"]
+        print(f"loaded pretrained checkpoint (step {ck['step']})")
+
+    trainer = Trainer(
+        model_cfg, train_cfg, graph, x2, bundle, h, params=params
+    )
+
+    from ..models.nca import num_params
+
+    print(f"model params: {num_params(trainer.params)}")
+
+    # --- pool + loop ------------------------------------------------------
+    key = jax.random.key(args.seed)
+    A_seed = plane_seed(
+        x2,
+        args.channels,
+        gmin=gmin,
+        gsize=gsize,
+        radius=seed_radius,
+        randomized=(args.initial_feature == "random"),
+        key=key,
+    )
+    pool = Pool(
+        np.asarray(x2),
+        np.asarray(A_seed),
+        args.pool_size,
+        randomized_feat=(args.initial_feature == "random"),
+        rng=np.random.default_rng(args.seed),
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    run_id = time.strftime("%m%d%H%M")
+    t_start = time.time()
+    losses = []
+    for i in range(args.training_iter + 1):
+        loss = trainer.run_iteration(i, pool)
+        losses.append(loss)
+        if i % args.log_every == 0:
+            rate = (i + 1) / (time.time() - t_start)
+            print(
+                f"iter {i:6d}  loss {loss:.6f}  ({rate:.2f} it/s)",
+                flush=True,
+            )
+        if (i + 1) % args.checkpoint_every == 0:
+            ck_path = os.path.join(
+                args.output_dir, f"sphnca-{run_id}-{i + 1:04d}"
+            )
+            save_checkpoint(
+                ck_path,
+                params=trainer.params,
+                model_cfg=model_cfg,
+                h=h,
+                step=i + 1,
+                loss=loss,
+                opt_state=trainer.opt_state,
+                train_cfg=train_cfg,
+                seed_x=np.asarray(x2),
+                seed_A=np.asarray(A_seed),
+                extra_meta={"args": vars(args)},
+            )
+            save_weights_json(
+                ck_path + ".json",
+                trainer.params,
+                model_cfg,
+                h,
+                mode="image" if args.loss == "mse_simple" else "texture",
+            )
+            print(f"saved checkpoint {ck_path}")
+
+    print(f"Done! total {time.time() - t_start:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

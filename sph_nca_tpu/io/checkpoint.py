@@ -43,7 +43,9 @@ def save_checkpoint(
     os.makedirs(path, exist_ok=True)
     state = {"params": params._asdict()}
     if opt_state is not None:
-        state["opt_state"] = opt_state
+        # to_state_dict flattens optax's nested NamedTuples into plain
+        # dicts that msgpack can carry
+        state["opt_state"] = serialization.to_state_dict(opt_state)
     with open(os.path.join(path, "checkpoint.msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(jax.tree.map(np.asarray, state)))
 

@@ -34,6 +34,7 @@ gsize = 2, h <= 0.1).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
@@ -119,24 +120,22 @@ def minimum_image(r: Array, period: Optional[Array]) -> Array:
     return r - jnp.round(r / period) * period
 
 
-def build_neighbor_list(
+@partial(
+    jax.jit,
+    static_argnames=("dims", "max_per_cell", "k", "chunk", "h_static"),
+)
+def _build_neighbor_list_impl(
     x: Array,
-    h,
-    dims: Dims,
+    period: Optional[Array],
     *,
+    h_static: float,
+    dims: Tuple[int, ...],
     max_per_cell: int,
     k: int,
-    period: Optional[Array] = None,
+    chunk: int,
 ) -> NeighborList:
-    """Build a fixed-K neighbor list for points ``x`` [N, D].
-
-    Static arguments ``max_per_cell`` (occupancy cap per hash cell — note
-    aliased cells share one slot pool, so leave headroom; see
-    `suggest_capacity`) and ``k`` (neighbor budget) determine all shapes.
-    Exactness is checkable post-hoc via ``num_dropped == 0``.
-    """
     n, d = x.shape
-    dims = _dims_tuple(dims, d)
+    h = h_static
     strides = jnp.asarray(_strides(dims))
     dims_arr = jnp.asarray(dims, dtype=jnp.int32)
     num_stencil = 3**d
@@ -156,44 +155,86 @@ def build_neighbor_list(
     counts = (ends - starts).astype(jnp.int32)
     starts = starts.astype(jnp.int32)
 
+    # Occupancy overflow (cell with more than max_per_cell points): counted
+    # so callers/tests can detect a too-small capacity.
+    num_cell_dropped = jnp.sum(jnp.maximum(counts - max_per_cell, 0))
+
     offsets = jnp.asarray(_stencil_offsets(d))  # [S, D]
-
-    # Neighbor cell hashes per particle: ((ci + off) mod dims) . strides
-    nci = jnp.mod(ci[:, None, :] + offsets[None, :, :], dims_arr)  # [N, S, D]
-    ncell = nci @ strides  # [N, S]
-
-    c_start = starts[ncell]  # [N, S]
-    c_count = counts[ncell]  # [N, S]
-
     slot = jnp.arange(max_per_cell, dtype=jnp.int32)  # [M]
-    cand_pos = c_start[:, :, None] + slot  # [N, S, M]
-    in_cell = slot < c_count[:, :, None]  # [N, S, M]
-    # Occupancy overflow (cell has more than max_per_cell points): counted so
-    # callers/tests can detect a too-small capacity.
-    cell_overflow = jnp.maximum(c_count - max_per_cell, 0)
-    # Each overflowing cell is scanned from S stencil positions but each
-    # *pair* is only dropped once per (i, cell) visit; we count visits.
-    num_cell_dropped = jnp.sum(cell_overflow)
 
-    cand_idx = order[jnp.clip(cand_pos, 0, n - 1)]  # [N, S, M]
-    cand_idx = cand_idx.reshape(n, num_stencil * max_per_cell)
-    in_cell = in_cell.reshape(n, num_stencil * max_per_cell)
+    # Process particles in fixed-size blocks so the [block, 3^D * M]
+    # candidate tensors stay small (the full [N, ...] expansion at
+    # N ~ 1e5 would need GBs of HBM).
+    pad = (-n) % chunk
+    ci_p = jnp.pad(ci, ((0, pad), (0, 0)))
+    x_p = jnp.pad(x, ((0, pad), (0, 0)))
+    nb = (n + pad) // chunk
 
-    r = minimum_image(x[cand_idx] - x[:, None, :], period)  # [N, C, D]
-    d2 = jnp.sum(r * r, axis=-1)
-    cand_valid = in_cell & (d2 < h * h)
+    def process(args):
+        ci_b, x_b = args  # [B, D], [B, D]
+        b = ci_b.shape[0]
+        nci = jnp.mod(ci_b[:, None, :] + offsets[None, :, :], dims_arr)
+        ncell = nci @ strides  # [B, S]
+        c_start = starts[ncell]  # [B, S]
+        c_count = counts[ncell]  # [B, S]
+        cand_pos = c_start[:, :, None] + slot  # [B, S, M]
+        in_cell = slot < c_count[:, :, None]
+        cand_idx = order[jnp.clip(cand_pos, 0, n - 1)]
+        cand_idx = cand_idx.reshape(b, num_stencil * max_per_cell)
+        in_cell = in_cell.reshape(b, num_stencil * max_per_cell)
 
-    # Compact to K nearest. Key: distance for valid lanes, +inf otherwise.
-    key = jnp.where(cand_valid, d2, jnp.inf)
-    _, sel = jax.lax.top_k(-key, k)  # k smallest distances
-    idx = jnp.take_along_axis(cand_idx, sel, axis=1)
-    valid = jnp.take_along_axis(cand_valid, sel, axis=1)
+        r = minimum_image(x[cand_idx] - x_b[:, None, :], period)
+        d2 = jnp.sum(r * r, axis=-1)
+        cand_valid = in_cell & (d2 < h * h)
 
-    num_k_dropped = jnp.sum(cand_valid) - jnp.sum(valid)
-    num_dropped = (num_k_dropped + num_cell_dropped).astype(jnp.int32)
+        # Compact to the K nearest: distance key, +inf for invalid lanes.
+        key = jnp.where(cand_valid, d2, jnp.inf)
+        _, sel = jax.lax.top_k(-key, k)
+        idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+        valid = jnp.take_along_axis(cand_valid, sel, axis=1)
+        dropped = jnp.sum(cand_valid) - jnp.sum(valid)
+        return jnp.where(valid, idx, 0).astype(jnp.int32), valid, dropped
 
-    idx = jnp.where(valid, idx, 0).astype(jnp.int32)
+    idx_b, valid_b, dropped_b = jax.lax.map(
+        process,
+        (ci_p.reshape(nb, chunk, d), x_p.reshape(nb, chunk, d)),
+    )
+    idx = idx_b.reshape(nb * chunk, k)[:n]
+    valid = valid_b.reshape(nb * chunk, k)[:n]
+    num_dropped = (jnp.sum(dropped_b) + num_cell_dropped).astype(jnp.int32)
     return NeighborList(idx=idx, valid=valid, num_dropped=num_dropped)
+
+
+def build_neighbor_list(
+    x: Array,
+    h,
+    dims: Dims,
+    *,
+    max_per_cell: int,
+    k: int,
+    period: Optional[Array] = None,
+    chunk: int = 4096,
+) -> NeighborList:
+    """Build a fixed-K neighbor list for points ``x`` [N, D].
+
+    Static arguments ``max_per_cell`` (occupancy cap per hash cell — note
+    aliased cells share one slot pool, so leave headroom; see
+    `suggest_capacity`) and ``k`` (neighbor budget) determine all shapes.
+    Exactness is checkable post-hoc via ``num_dropped == 0``.
+    The build is jitted and chunked (``chunk`` particles per block).
+    """
+    n, d = x.shape
+    dims = _dims_tuple(dims, d)
+    period_arr = None if period is None else jnp.asarray(period)
+    return _build_neighbor_list_impl(
+        x,
+        period_arr,
+        h_static=float(h),
+        dims=dims,
+        max_per_cell=int(max_per_cell),
+        k=int(k),
+        chunk=int(min(chunk, max(n, 1))),
+    )
 
 
 def suggest_capacity(
@@ -221,21 +262,22 @@ def suggest_capacity(
     max_occ = int(occupancy.max())
 
     # Max neighbor count: exact for small n, sampled estimate for large n.
+    # Chunked f32 so the pair matrix never exceeds ~100MB of host RAM.
+    x32 = x.astype(np.float32)
     if n <= 4096:
-        r = x[None] - x[:, None]
-        if period is not None:
-            p = np.asarray(period)
-            r = r - np.round(r / p) * p
-        counts = (np.sum(r * r, axis=-1) < h * h).sum(axis=-1)
-        max_nbrs = int(counts.max())
+        queries = x32
     else:
         sample = np.random.default_rng(0).choice(n, 2048, replace=False)
-        r = x[None] - x[sample, None]
-        if period is not None:
-            p = np.asarray(period)
+        queries = x32[sample]
+    p = np.asarray(period, np.float32) if period is not None else None
+    max_nbrs = 0
+    chunk = max(1, (64 << 20) // (4 * d * n))
+    for s in range(0, len(queries), chunk):
+        r = x32[None] - queries[s : s + chunk, None]
+        if p is not None:
             r = r - np.round(r / p) * p
         counts = (np.sum(r * r, axis=-1) < h * h).sum(axis=-1)
-        max_nbrs = int(counts.max())
+        max_nbrs = max(max_nbrs, int(counts.max()))
 
     def pad(v: int) -> int:
         v = int(math.ceil(v * slack))

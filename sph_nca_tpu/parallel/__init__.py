@@ -1,0 +1,31 @@
+"""sph_nca_tpu.parallel — device mesh, shardings, sharded training."""
+
+from .mesh import (
+    DATA_AXIS,
+    PARTICLE_AXIS,
+    batch_state_spec,
+    factorize,
+    graph_spec,
+    make_mesh,
+    replicate,
+    replicated_spec,
+    shard_batch,
+    shard_graph,
+)
+from .shard import ShardedTrainStep, dryrun_train_step, make_sharded_train_step
+
+__all__ = [
+    "DATA_AXIS",
+    "PARTICLE_AXIS",
+    "ShardedTrainStep",
+    "batch_state_spec",
+    "dryrun_train_step",
+    "factorize",
+    "graph_spec",
+    "make_mesh",
+    "make_sharded_train_step",
+    "replicate",
+    "replicated_spec",
+    "shard_batch",
+    "shard_graph",
+]
