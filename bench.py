@@ -62,18 +62,19 @@ def main():
     A0 = jax.random.uniform(jax.random.key(1), (N_POINTS, cfg.channels))
 
     roll = jax.jit(
-        lambda p, A, key: rollout(
-            p, cfg, graph, A, key, STEPS, h, remat=False
+        lambda p, g, A, key: rollout(
+            p, cfg, g, A, key, STEPS, h, remat=False
         ).final
     )
 
-    # warmup/compile
-    roll(params, A0, jax.random.key(2)).block_until_ready()
+    # warmup/compile; force full completion with a host readback
+    # (block_until_ready alone does not block under the axon tunnel)
+    np.asarray(roll(params, graph, A0, jax.random.key(2)).ravel()[:1])
 
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        roll(params, A0, jax.random.key(3 + rep)).block_until_ready()
+        np.asarray(roll(params, graph, A0, jax.random.key(3 + rep)).ravel()[:1])
         best = min(best, time.perf_counter() - t0)
 
     value = N_POINTS * STEPS / best

@@ -152,6 +152,16 @@ def perceive(
     return jnp.concatenate([A, gA[..., 0], gA[..., 1]], axis=-1)
 
 
+def _mask_blur(graph: SPHGraph, Aj: Array, use_alpha: bool) -> Array:
+    """life_mask from pre-gathered neighbor states Aj [N, K, C]:
+    blur((activity > 0.1).float) > 0.1, stop-gradient (nca.py:71-79)."""
+    from ..ops.neighbor_ops import graph_blur_from
+
+    mj = (cell_activity(Aj, use_alpha) > ALIVE_THRESHOLD).astype(jnp.float32)
+    sm = jax.lax.stop_gradient(graph_blur_from(graph, mj[..., None]))
+    return sm[:, 0] > ALIVE_THRESHOLD
+
+
 def nca_step(
     params: MLPParams,
     cfg: SPHNCAConfig,
@@ -162,13 +172,27 @@ def nca_step(
     fire_rate: Optional[float] = None,
     perception_transform: Optional[PerceptionTransform] = None,
 ) -> Array:
-    """One NCA update step A -> nA (reference nca.py:87-117)."""
+    """One NCA update step A -> nA (reference nca.py:87-117).
+
+    Fused memory plan (TPU): the state is gathered to neighbors ONCE per
+    phase ([N, K, C]) and both the life-mask blur and the SPH-gradient
+    perception are contracted from that tensor — narrow standalone gathers
+    are the slowest op XLA emits on TPU (see ops.gather_neighbors).
+    """
+    from ..ops.neighbor_ops import gather_neighbors, graph_gradient_from
+
     if fire_rate is None:
         fire_rate = cfg.fire_rate
 
-    prev_mask = life_mask(graph, cell_activity(A, cfg.use_alpha))
+    Aj = gather_neighbors(graph, A)  # [N, K, C]
+    prev_mask = _mask_blur(graph, Aj, cfg.use_alpha)
 
-    y = perceive(cfg, graph, A, h, perception_transform)
+    gA = graph_gradient_from(graph, A, Aj)  # [N, C, D]
+    if cfg.normalize_perception > 0:
+        gA = h * gA * cfg.normalize_perception
+    if perception_transform is not None:
+        gA = perception_transform(gA)
+    y = jnp.concatenate([A, gA[..., 0], gA[..., 1]], axis=-1)
     dA = apply_mlp(params, y)
 
     c = cfg.channels
@@ -186,6 +210,7 @@ def nca_step(
     update_mask = u <= fire_rate
     nA = jnp.where(update_mask[:, None], nA, A)
 
-    new_mask = life_mask(graph, cell_activity(nA, cfg.use_alpha))
+    nAj = gather_neighbors(graph, nA)
+    new_mask = _mask_blur(graph, nAj, cfg.use_alpha)
     living = (prev_mask & new_mask).astype(nA.dtype)
     return nA * living[:, None]

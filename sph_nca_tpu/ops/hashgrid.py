@@ -255,6 +255,20 @@ def suggest_capacity(
     x = np.asarray(x)
     n, d = x.shape
     dims = _dims_tuple(dims, d)
+
+    def pad(v: int) -> int:
+        v = int(math.ceil(v * slack))
+        return ((v + align - 1) // align) * align
+
+    # Fast path: exact counts from the native grid analyzer (C++), which
+    # is ~50x faster than the numpy pass at N ~ 1e5.
+    from .. import native
+
+    nat = native.capacity(x, float(h), dims, period=period)
+    if nat is not None:
+        max_occ, max_nbrs = nat
+        return pad(max_occ), pad(max_nbrs)
+
     strides = _strides(dims)
     ci = np.mod(np.floor(x / h).astype(np.int64), np.asarray(dims))
     cell = ci.astype(np.int64) @ strides.astype(np.int64)
@@ -278,10 +292,6 @@ def suggest_capacity(
             r = r - np.round(r / p) * p
         counts = (np.sum(r * r, axis=-1) < h * h).sum(axis=-1)
         max_nbrs = max(max_nbrs, int(counts.max()))
-
-    def pad(v: int) -> int:
-        v = int(math.ceil(v * slack))
-        return ((v + align - 1) // align) * align
 
     return pad(max_occ), pad(max_nbrs)
 

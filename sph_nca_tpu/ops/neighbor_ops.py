@@ -159,6 +159,31 @@ def graph_blur(g: SPHGraph, A: Array) -> Array:
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def gather_neighbors(g: SPHGraph, A: Array) -> Array:
+    """One [N, K, C] neighbor gather of A — the step's dominant memory op.
+
+    TPU-specific: XLA lowers narrow per-row gathers poorly (a [N, K, 1]
+    gather measures ~3x SLOWER than [N, K, 16] on v5e), so the fused NCA
+    step gathers the full state once and derives every neighborhood
+    quantity (gradient, life-mask blur) from the same gathered tensor —
+    see models/nca.nca_step fused path.
+    """
+    return A[g.idx]
+
+
+def graph_gradient_from(g: SPHGraph, A: Array, Aj: Array) -> Array:
+    """graph_gradient using a pre-gathered Aj = gather_neighbors(g, A)."""
+    ga = jnp.einsum("nkf,nkd->nfd", Aj, g.gv,
+                    precision=jax.lax.Precision.HIGHEST)
+    return ga - A[:, :, None] * g.gv_sum[:, None, :]
+
+
+def graph_blur_from(g: SPHGraph, Aj: Array) -> Array:
+    """graph_blur using a pre-gathered Aj [N, K, C]."""
+    return jnp.einsum("nk,nkf->nf", g.wv, Aj,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def graph_divergence(g: SPHGraph, A: Array) -> Array:
     """[N, F, D] -> [N, F] using precomputed gv."""
     da = jnp.einsum("nkfd,nkd->nf", A[g.idx], g.gv,

@@ -262,6 +262,9 @@ class Trainer:
         self,
         params: MLPParams,
         opt_state,
+        graph: SPHGraph,  # passed explicitly: closed-over arrays would be
+        # embedded as program constants (bloats the executable; defeats
+        # donation/sharding)
         A0: Array,  # [B, N, C]
         key: Array,
         n_steps: Array,  # traced scalar
@@ -272,7 +275,7 @@ class Trainer:
 
         def loss_fn(params):
             out = rollout_batch(
-                params, self.model_cfg, self.graph, A0, kroll, max_steps,
+                params, self.model_cfg, graph, A0, kroll, max_steps,
                 self.h, n_steps=n_steps, collect_steps=collect_steps,
             )
             total = self.loss.batch_total(self._loss_x, out.final, kloss)
@@ -314,6 +317,7 @@ class Trainer:
         self.params, self.opt_state, loss, final = self._step_fn(
             self.params,
             self.opt_state,
+            self.graph,
             jnp.asarray(A0),
             kstep,
             jnp.int32(n),

@@ -1,0 +1,120 @@
+"""3D-surface machinery tests: tangent frames, diffusion, mesh rollout."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sph_nca_tpu import ops
+from sph_nca_tpu.models import (
+    SPHNCAConfig,
+    init_params,
+    normalize,
+    orthogonalize,
+    project_tangent_space,
+    rollout_mesh,
+    tangent_perception,
+)
+from sph_nca_tpu.models.surface import diffuse
+from sph_nca_tpu.utils.meshes import fibonacci_sphere, sphere_normals
+
+
+def sphere_scene(n=2000, h=0.15):
+    x_np = fibonacci_sphere(n, 0.8)
+    x = jnp.asarray(x_np)
+    nrm = jnp.asarray(sphere_normals(x_np))
+    dims = ops.default_dims(h)
+    mpc, k = ops.suggest_capacity(x_np, h, dims)
+    g = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k)
+    return x, nrm, g, h
+
+
+def test_normalize_and_orthogonalize():
+    v = jnp.asarray([[3.0, 4.0, 0.0]])
+    assert np.allclose(np.asarray(normalize(v)), [[0.6, 0.8, 0.0]], atol=1e-6)
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    t = jnp.asarray([[1.0, 0.0, 1.0]])
+    out = np.asarray(orthogonalize(n, t))
+    assert np.allclose(out, [[1.0, 0.0, 0.0]], atol=1e-6)
+
+
+def test_project_tangent_space_is_frame_change():
+    rng = np.random.default_rng(0)
+    n = normalize(jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32)))
+    t_raw = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    t = orthogonalize(n, t_raw)
+    gA = jnp.asarray(rng.normal(size=(5, 4, 3)).astype(np.float32))
+    p = np.asarray(project_tangent_space(gA, n, t))
+    # rotation preserves norms per feature
+    assert np.allclose(
+        np.linalg.norm(p, axis=-1), np.asarray(jnp.linalg.norm(gA, axis=-1)),
+        atol=1e-5,
+    )
+    # a vector equal to the normal projects to (0, 0, 1)
+    gN = jnp.broadcast_to(n[:, None, :], (5, 1, 3))
+    pN = np.asarray(project_tangent_space(gN, n, t))
+    assert np.allclose(pN[:, 0, 2], 1.0, atol=1e-5)
+    assert np.allclose(pN[:, 0, :2], 0.0, atol=1e-5)
+
+
+def test_diffuse_spreads_tangents_and_stays_tangent():
+    x, nrm, g, h = sphere_scene(1000, 0.3)
+    rng = np.random.default_rng(0)
+    t0 = jnp.zeros_like(nrm)
+    # one seeded tangent
+    t0 = t0.at[0].set(orthogonalize(nrm[0], jnp.asarray([1.0, 0.0, 0.0])))
+    A = jnp.ones((x.shape[0], 16))
+    t = t0
+    for _ in range(10):
+        t = diffuse(nrm, t, A, g)
+    tn = np.asarray(t)
+    # all tangents unit-ish and orthogonal to normals
+    assert np.allclose(np.linalg.norm(tn, axis=-1), 1.0, atol=1e-3)
+    dots = np.abs(np.sum(tn * np.asarray(nrm), axis=-1))
+    assert dots.max() < 1e-3
+
+
+def test_mesh_rollout_runs_and_masks():
+    x, nrm, g, h = sphere_scene(1500, 0.2)
+    cfg = SPHNCAConfig(channels=8, hidden=32, normalize_perception=1.0 / h)
+    params = init_params(jax.random.key(0), cfg)
+
+    from sph_nca_tpu.utils.seeds import add_radial_seed
+
+    A0 = jnp.zeros((x.shape[0], 8))
+    A0 = add_radial_seed(x, A0, x[0], 0.3)
+    t0 = jax.vmap(orthogonalize)(nrm, jnp.ones_like(nrm))
+
+    final_A, final_t, states = rollout_mesh(
+        params, cfg, g, g, A0, nrm, t0, jax.random.key(1), 5, h,
+        collect_all=True,
+    )
+    assert states.shape == (6, x.shape[0], 8)
+    assert np.all(np.isfinite(np.asarray(final_A)))
+    # tangents remain orthonormal to normals after rollout
+    tn = np.asarray(final_t)
+    assert np.abs(np.sum(tn * np.asarray(nrm), -1)).max() < 1e-3
+
+
+def test_tangent_perception_feeds_tangential_components():
+    """The MLP consumes tangential derivative components (gA . T, gA . B)
+    after projection — rotating the frame must change features 2/3 but the
+    first block (A) stays."""
+    x, nrm, g, h = sphere_scene(800, 0.3)
+    cfg = SPHNCAConfig(channels=8, hidden=32)
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(x.shape[0], 8)).astype(np.float32))
+
+    from sph_nca_tpu.ops.neighbor_ops import gather_neighbors, graph_gradient_from
+
+    Aj = gather_neighbors(g, A)
+    gA = graph_gradient_from(g, A, Aj)
+    t1 = jax.vmap(orthogonalize)(nrm, jnp.ones_like(nrm))
+    p1 = tangent_perception(nrm, t1)(gA)
+    # normal components equal regardless of tangent choice
+    t2 = jax.vmap(orthogonalize)(nrm, jnp.asarray(
+        rng.normal(size=nrm.shape).astype(np.float32)))
+    p2 = tangent_perception(nrm, t2)(gA)
+    assert np.allclose(
+        np.asarray(p1[..., 2]), np.asarray(p2[..., 2]), atol=1e-4
+    )
+    assert not np.allclose(np.asarray(p1[..., 0]), np.asarray(p2[..., 0]))
