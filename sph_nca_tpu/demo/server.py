@@ -1,0 +1,177 @@
+"""Interactive SPH-NCA demo server (stdlib-only).
+
+Role mirror of the reference's browser demo driver/UI
+(docs/inference-worker.js + main.js): loads a weights JSON, steps the
+numpy engine (or the JAX engine when available), streams RGBA frames to a
+canvas page, and supports click-to-damage / click-to-seed brushes.
+
+Run:
+    python -m sph_nca_tpu.demo.server --weights_json gecko.json --size 64
+then open http://localhost:8000/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .engine import NumpyEngine
+
+STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
+
+
+class DemoState:
+    """The simulation loop state shared with the HTTP handlers."""
+
+    def __init__(self, args):
+        with open(args.weights_json) as f:
+            data = json.load(f)
+        cfgj = data["config"]
+        layers = sorted(data["layers"], key=lambda l: l["index"])
+        weights = {
+            "w1": np.asarray(layers[0]["weight"], np.float32).T,
+            "b1": np.asarray(layers[0]["bias"], np.float32),
+            "w2": np.asarray(layers[1]["weight"], np.float32).T,
+            "b2": np.asarray(layers[1]["bias"], np.float32),
+        }
+        h = float(cfgj.get("h", 0.08))
+        self.mode = cfgj.get("mode", "image")
+        self.size = args.size
+        self.channels = int(cfgj.get("input_features", 48)) // 3
+
+        # particle grid + optional jitter (reference worker point patterns)
+        lin = (np.arange(self.size) + 0.5) / self.size * 2.0 - 1.0
+        gx, gy = np.meshgrid(lin, lin, indexing="ij")
+        x = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+        if args.jitter > 0:
+            rng = np.random.default_rng(0)
+            x = x + rng.uniform(
+                -args.jitter, args.jitter, x.shape
+            ).astype(np.float32) * (2.0 / self.size)
+
+        use_alpha = self.mode == "image"
+        period = np.asarray([2.0, 2.0], np.float32) if not use_alpha else None
+        self.engine = NumpyEngine(
+            x,
+            weights,
+            h=h,
+            fire_rate=float(cfgj.get("fire_rate", 0.5)),
+            update_rule=cfgj.get("update_rule", "gated"),
+            channels=self.channels,
+            use_alpha=use_alpha,
+            normalize_perception=1.0 / h,
+            period=period,
+        )
+        self.x = x
+        self.lock = threading.Lock()
+        self.reset()
+
+    def reset(self):
+        n = self.x.shape[0]
+        if self.mode == "image":
+            A = np.zeros((n, self.channels), np.float32)
+            d2 = np.sum(self.x**2, -1)
+            w = np.clip(1.0 - d2 / self.engine.h**2, 0, 1) ** 3
+            A += w[:, None]
+        else:
+            A = np.random.default_rng(0).random(
+                (n, self.channels), dtype=np.float32
+            )
+        with getattr(self, "lock", threading.Lock()):
+            self.A = A
+            self.step_count = 0
+
+    def step(self):
+        with self.lock:
+            self.A = self.engine.step(self.A)
+            self.step_count += 1
+
+    def frame(self) -> bytes:
+        with self.lock:
+            rgba = self.engine.rgba(self.A)
+        img = np.clip(rgba, 0.0, 1.0).reshape(self.size, self.size, 4)
+        if self.mode != "image":
+            img[..., 3] = 1.0
+        return (img * 255).astype(np.uint8).tobytes()
+
+    def brush(self, cx: float, cy: float, radius: float, kind: str):
+        """Click interaction (reference inference-worker.js:318-336)."""
+        d2 = np.sum((self.x - np.asarray([cx, cy], np.float32)) ** 2, -1)
+        mask = d2 < radius * radius
+        with self.lock:
+            if kind == "damage":
+                self.A[mask] = 0.0
+            else:  # seed
+                w = np.clip(1.0 - d2[mask] / radius**2, 0, 1) ** 3
+                self.A[mask] += w[:, None]
+
+
+def make_handler(state: DemoState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                with open(os.path.join(STATIC_DIR, "index.html"), "rb") as f:
+                    self._send(200, f.read(), "text/html")
+            elif self.path.startswith("/frame"):
+                state.step()
+                meta = json.dumps(
+                    {"size": state.size, "step": state.step_count}
+                ).encode()
+                body = (
+                    len(meta).to_bytes(4, "little") + meta + state.frame()
+                )
+                self._send(200, body, "application/octet-stream")
+            elif self.path.startswith("/reset"):
+                state.reset()
+                self._send(200, b"{}")
+            else:
+                self._send(404, b"{}")
+
+        def do_POST(self):
+            if self.path.startswith("/brush"):
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                state.brush(
+                    float(req["x"]), float(req["y"]),
+                    float(req.get("radius", 0.15)),
+                    req.get("kind", "damage"),
+                )
+                self._send(200, b"{}")
+            else:
+                self._send(404, b"{}")
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--weights_json", required=True)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--jitter", type=float, default=0.0)
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+
+    state = DemoState(args)
+    server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(state))
+    print(f"demo at http://127.0.0.1:{args.port}/ "
+          f"({state.mode} mode, {state.size}x{state.size})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ from .nca import (
     perceive,
     to_rgba,
 )
+from .cell_step import nca_step_cells, rollout_cells
 from .rollout import RolloutOut, rollout, rollout_batch, rollout_states
 from .surface import (
     DIFFUSE_DIMS,
@@ -38,12 +39,14 @@ __all__ = [
     "init_params",
     "life_mask",
     "nca_step",
+    "nca_step_cells",
     "normalize",
     "num_params",
     "orthogonalize",
     "perceive",
     "project_tangent_space",
     "rollout",
+    "rollout_cells",
     "rollout_batch",
     "rollout_mesh",
     "rollout_states",

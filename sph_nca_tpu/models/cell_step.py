@@ -1,0 +1,142 @@
+"""NCA step and rollout over the cell-dense engine (the TPU fast path).
+
+Semantically identical to models/nca.nca_step (reference nca.py:87-117) but
+operating on the cell layout S [C+1, M, F] of ops/cells.CellEngine:
+
+  * ONE window gather per phase feeds both the life-mask blur and the
+    SPH-gradient perception (vs two [N*K]-row gathers in the list path);
+  * all neighborhood math is batched [M, W] x [W, *] MXU matmuls.
+
+Stochasticity note: the fire-rate mask is drawn per SLOT rather than per
+particle — the same Bernoulli(fire_rate) law, a different stream than the
+particle-order path, so trajectories match the graph path exactly only at
+fire_rate == 1 (tests use that; training only needs the law).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cells import CellEngine
+from .nca import ALIVE_THRESHOLD, MLPParams, SPHNCAConfig, apply_mlp
+
+Array = jnp.ndarray
+
+
+def cell_activity_s(S: Array, use_alpha: bool) -> Array:
+    """Activity per slot [C+1, M] (reference nca.py:17-21)."""
+    if use_alpha:
+        return S[..., 3]
+    return jnp.ones_like(S[..., 3])
+
+
+def _mask_blur_cells(eng: CellEngine, Sw: Array, use_alpha: bool) -> Array:
+    """life-mask smoothing from a window gather Sw [C, WM, F]:
+    blur((activity > 0.1).float) > 0.1, stop-gradient (nca.py:71-79)."""
+    if use_alpha:
+        actw = Sw[..., 3]
+    else:
+        # all-ones activity, but padded window slots must not count:
+        # recover validity from the window volumes (pad slots have v == 0)
+        actw = (eng.vw > 0.0).astype(Sw.dtype)
+    mw = (actw > ALIVE_THRESHOLD).astype(Sw.dtype)
+    sm = jnp.einsum(
+        "cmw,cw->cm", eng.Tw, mw, precision=jax.lax.Precision.HIGHEST
+    )
+    sm = jax.lax.stop_gradient(sm)
+    mask = sm > ALIVE_THRESHOLD  # [C, M]
+    return jnp.concatenate([mask, jnp.zeros_like(mask[:1])], axis=0)
+
+
+def nca_step_cells(
+    params: MLPParams,
+    cfg: SPHNCAConfig,
+    eng: CellEngine,
+    S: Array,
+    key: Array,
+    h,
+    fire_rate: Optional[float] = None,
+    perception_transform=None,
+) -> Array:
+    """One NCA step in cell layout: S [C+1, M, F] -> [C+1, M, F]."""
+    if fire_rate is None:
+        fire_rate = cfg.fire_rate
+    c = cfg.channels
+
+    Sw = eng.window(S)  # [C, WM, F] — the phase's one gather
+    prev_mask = _mask_blur_cells(eng, Sw, cfg.use_alpha)
+
+    gA = eng.gradient(S, Sw=Sw)  # [C+1, M, F, D]
+    if cfg.normalize_perception > 0:
+        gA = h * gA * cfg.normalize_perception
+    if perception_transform is not None:
+        gA = perception_transform(gA)
+    y = jnp.concatenate([S, gA[..., 0], gA[..., 1]], axis=-1)
+    dA = apply_mlp(params, y)
+
+    if cfg.update_rule == "gated":
+        gate = jax.nn.sigmoid(dA[..., :c])
+        delta = jnp.tanh(dA[..., c : 2 * c])
+        mult = jax.nn.sigmoid(dA[..., -1:])
+        nS = S * gate + delta * mult
+    elif cfg.update_rule == "orig":
+        nS = S + dA * (cfg.fire_rate / fire_rate)
+    else:
+        raise ValueError(f"unknown update rule {cfg.update_rule!r}")
+
+    u = jax.random.uniform(key, S.shape[:2])
+    nS = jnp.where((u <= fire_rate)[..., None], nS, S)
+
+    nSw = eng.window(nS)
+    new_mask = _mask_blur_cells(eng, nSw, cfg.use_alpha)
+    living = (prev_mask & new_mask).astype(nS.dtype)
+    return nS * living[..., None]
+
+
+def rollout_cells(
+    params: MLPParams,
+    cfg: SPHNCAConfig,
+    eng: CellEngine,
+    S0: Array,
+    key: Array,
+    max_steps: int,
+    h,
+    *,
+    n_steps: Optional[Array] = None,
+    fire_rate: Optional[float] = None,
+    collect_steps: Optional[Array] = None,
+    remat: bool = True,
+):
+    """Scan rollout in cell layout; mirrors models/rollout.rollout."""
+    from .rollout import RolloutOut
+
+    def step_fn(S, k):
+        return nca_step_cells(params, cfg, eng, S, k, h, fire_rate=fire_rate)
+
+    if remat:
+        step_fn = jax.checkpoint(step_fn)
+
+    collect = collect_steps is not None
+    buf0 = (
+        jnp.broadcast_to(S0, (collect_steps.shape[0],) + S0.shape)
+        if collect
+        else None
+    )
+
+    def body(carry, t):
+        S, buf = carry
+        nS = step_fn(S, jax.random.fold_in(key, t))
+        if n_steps is not None:
+            nS = jnp.where(t < n_steps, nS, S)
+        if collect:
+            hit = (collect_steps == t + 1)[:, None, None, None]
+            buf = jnp.where(hit, nS[None], buf)
+        return (nS, buf), None
+
+    (final, buf), _ = jax.lax.scan(
+        body, (S0, buf0), jnp.arange(max_steps), length=max_steps
+    )
+    return RolloutOut(final=final, collected=buf)

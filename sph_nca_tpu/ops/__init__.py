@@ -6,6 +6,7 @@ count, blur), restructured around static-shape fixed-K neighbor lists.
 """
 
 from . import dense
+from .cells import CellEngine, build_cell_engine
 from .kernels import (
     DEFAULT_GRADIENT,
     DEFAULT_SMOOTHING,
@@ -35,11 +36,13 @@ from .neighbor_ops import (
 )
 
 __all__ = [
+    "CellEngine",
     "DEFAULT_GRADIENT",
     "DEFAULT_SMOOTHING",
     "NeighborList",
     "SPHGraph",
     "blur",
+    "build_cell_engine",
     "build_graph",
     "build_neighbor_list",
     "cell_index",

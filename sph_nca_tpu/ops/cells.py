@@ -1,0 +1,370 @@
+"""Cell-dense SPH engine — the TPU fast path for neighborhood operators.
+
+Why: XLA's per-row gather on TPU costs ~2.6ns/row regardless of row width,
+so the neighbor-list formulation (ops/neighbor_ops.py) pays for N*K tiny
+gathers per op (~10ms at N=1e5, K=40 on v5e) while the same bytes moved as
+~1.5KB cell rows run at full HBM bandwidth (measured 735GB/s). This engine
+therefore restructures the computation around whole cells:
+
+  * particles live in a cell-dense layout S [C+1, M, F]: one row block per
+    occupied hash cell, M slots (padded; slot positions padded to 1e9 so
+    every kernel weight against them is exactly 0). Row C is an all-zero
+    dummy cell.
+  * each op processes one cell against its <=3^D occupied stencil cells:
+    the window state is ONE cell-granularity gather S[win_cells]
+    ([C, W, M*F] contiguous rows), window positions/volumes are
+    precomputed per block with periodic wrap shifts baked in.
+  * pair weights W(d2), spiky magnitude are computed on the fly from
+    positions (d2 via the |a|^2+|b|^2-2ab MXU cross-term), and the SPH
+    sums become batched matmuls through a moment expansion:
+
+      grad_i[f,d] = sum_j T_ij (xw_j - xb_i)_d (Aw_j - Ab_i)_f
+                  = [T @ (Aw*xw_d)] - xb_d [T @ Aw] - Ab_f [T @ xw_d]
+                    + xb_d Ab_f [T @ 1]
+
+    i.e. one [M, W] @ [W, (D+1)(F+1)] matmul per cell — MXU work instead
+    of gathers.
+
+This engine is semantically identical to the reference operators
+(operators_batch.py): same kernels, same normalizations, sums over the
+same neighborhoods (extra window pairs beyond |r| < h contribute exactly
+zero because every kernel has compact support).
+
+The whole rollout runs in cell layout; `scatter`/`gather_back` convert at
+the boundaries (pool/loss want the original particle order).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kernels as K
+from .hashgrid import _dims_tuple, _stencil_offsets, _strides
+
+Array = jnp.ndarray
+
+# Padded slot position: far enough that h^2 - d^2 underflows to -inf-ish
+# and every smoothing kernel evaluates to exactly 0 in f32.
+PAD_POS = 1.0e6
+
+
+class CellEngine(NamedTuple):
+    """Static per-geometry structure (a pytree of device arrays).
+
+    C = number of occupied cells, M = slot capacity per cell,
+    W = window cell capacity (occupied stencil cells), N = particles.
+    """
+
+    # layout maps
+    slot_of_particle: Array  # [N] int32 -> flat slot id (cell*M + slot)
+    # geometry (cell layout)
+    xs: Array  # [C+1, M, D] slot positions (pad: PAD_POS)
+    vs: Array  # [C+1, M]    slot volumes   (pad: 0)
+    # window structure
+    win_cells: Array  # [C, W] int32 cell ids (pad: C = dummy zero cell)
+    xw: Array  # [C, W*M, D] window positions with periodic shifts baked in
+    vw: Array  # [C, W*M]    window volumes
+    # precomputed pair-weight matrices (static per geometry: particles do
+    # not move during rollouts, reference nca.py:136). Reading these once
+    # per op beats recomputing d2 (XLA would materialize the dot operand
+    # anyway, paying write+read instead of read).
+    Tw: Array  # [C, M, W*M] blur weights  sigma_W W(d2) v_w
+    Tg: Array  # [C, M, W*M] gradient scalar sigma_g spiky_mag v_w
+    # constants
+    h: Array  # scalar f32
+    sig_w: Array  # smoothing normalization sigma_W
+    sig_g: Array  # gradient normalization sigma_g
+
+    @property
+    def num_cells(self) -> int:
+        return self.win_cells.shape[0]
+
+    @property
+    def slots_per_cell(self) -> int:
+        return self.xs.shape[1]
+
+    @property
+    def num_particles(self) -> int:
+        return self.slot_of_particle.shape[0]
+
+    # -- layout conversion -------------------------------------------------
+
+    def scatter(self, A: Array) -> Array:
+        """[N, F] particle-order values -> [C+1, M, F] cell layout
+        (padded slots and the dummy cell are zero)."""
+        c, m = self.num_cells, self.slots_per_cell
+        F = A.shape[-1]
+        flat = jnp.zeros(((c + 1) * m, F), A.dtype)
+        flat = flat.at[self.slot_of_particle].set(A)
+        return flat.reshape(c + 1, m, F)
+
+    def gather_back(self, S: Array) -> Array:
+        """[C+1, M, F] cell layout -> [N, F] particle order."""
+        c, m = self.num_cells, self.slots_per_cell
+        return S.reshape((c + 1) * m, S.shape[-1])[self.slot_of_particle]
+
+    # -- pair machinery ----------------------------------------------------
+
+    def window(self, S: Array) -> Array:
+        """Window states: [C+1, M, F] -> [C, W*M, F].
+
+        One cell-granularity gather (rows of M*F values) — the only gather
+        in the per-step hot path.
+        """
+        c, m = self.num_cells, self.slots_per_cell
+        F = S.shape[-1]
+        return S.reshape(c + 1, m * F)[self.win_cells].reshape(
+            c, self.win_cells.shape[1] * m, F
+        )
+
+    def pair_d2(self) -> Array:
+        """Pairwise squared distances [C, M, W*M] (cell slots x window)."""
+        xb = self.xs[:-1]  # [C, M, D]
+        d2 = (
+            jnp.sum(xb * xb, -1)[:, :, None]
+            + jnp.sum(self.xw * self.xw, -1)[:, None, :]
+            - 2.0
+            * jnp.einsum(
+                "cmd,cwd->cmw", xb, self.xw,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        return jnp.maximum(d2, 0.0)
+
+    # -- operators ---------------------------------------------------------
+
+    def blur(self, S: Array, *, Sw: Optional[Array] = None) -> Array:
+        """SPH blur in cell layout: [C+1, M, F] -> [C+1, M, F].
+
+        Reference semantics: operators_batch.py:601-671. ``Sw`` lets the
+        caller reuse an existing window gather of S.
+        """
+        Aw = self.window(S) if Sw is None else Sw
+        out = jnp.einsum(
+            "cmw,cwf->cmf", self.Tw, Aw,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.concatenate([out, jnp.zeros_like(out[:1])], axis=0)
+
+    def gradient(self, S: Array, *, Sw: Optional[Array] = None) -> Array:
+        """SPH gradient in cell layout: [C+1, M, F] -> [C+1, M, F, D].
+
+        Reference semantics: operators_batch.py:159-235, via the moment
+        expansion (one fused matmul per cell).
+        """
+        Tg = self.Tg
+        c, m = self.num_cells, self.slots_per_cell
+        F = S.shape[-1]
+        D = self.xs.shape[-1]
+        Aw = self.window(S) if Sw is None else Sw  # [C, WM, F]
+        xb = self.xs[:-1]  # [C, M, D]
+        Ab = S[:-1]  # [C, M, F]
+
+        # rhs = [Aw (F), Aw*xw_d (F*D), xw (D), 1] -> [C, WM, F + F*D + D + 1]
+        parts = [Aw]
+        for d in range(D):
+            parts.append(Aw * self.xw[..., d : d + 1])
+        parts.append(self.xw)
+        parts.append(jnp.ones_like(Aw[..., :1]))
+        rhs = jnp.concatenate(parts, axis=-1)
+
+        mom = jnp.einsum(
+            "cmw,cwk->cmk", Tg, rhs, precision=jax.lax.Precision.HIGHEST
+        )
+        tAw = mom[..., :F]  # T @ Aw
+        tAx = mom[..., F : F + F * D].reshape(c, m, D, F)  # T @ (Aw xw_d)
+        tx = mom[..., F + F * D : F + F * D + D]  # T @ xw
+        t1 = mom[..., -1:]  # T @ 1
+
+        # grad[f,d] = tAx[d,f] - xb_d tAw_f - Ab_f tx_d + xb_d Ab_f t1
+        grad = (
+            jnp.swapaxes(tAx, -1, -2)  # [C, M, F, D]
+            - xb[:, :, None, :] * tAw[..., None]
+            - Ab[..., None] * tx[:, :, None, :]
+            + (xb[:, :, None, :] * Ab[..., None]) * t1[..., None]
+        )
+        return jnp.concatenate([grad, jnp.zeros_like(grad[:1])], axis=0)
+
+    def volume_consistency(self) -> Array:
+        """sigma_W * sum_w W * v_w per slot — should be ~1 for real slots
+        (Shepard partition of unity); used by tests."""
+        ones = jnp.ones((self.num_cells + 1, self.slots_per_cell, 1))
+        return self.blur(ones)[..., 0]
+
+
+def build_cell_engine(
+    x,
+    h: float,
+    dims=None,  # accepted for API symmetry with build_graph; unused
+    *,
+    max_per_cell: Optional[int] = None,
+    max_window_cells: Optional[int] = None,
+    period=None,
+    smoothing: str = K.DEFAULT_SMOOTHING,
+    gradient_kernel: str = K.DEFAULT_GRADIENT,
+) -> CellEngine:
+    """Build the engine for concrete positions (host-side, one-time).
+
+    ``x``: [N, D] numpy/JAX array. Capacities default to exact counts.
+
+    Cells are keyed by their TRUE floor coordinates (no modulo hash), so
+    non-periodic domains have no cell aliasing at all. For periodic
+    domains, cells tile the period exactly: cell_size_d =
+    period_d / floor(period_d / h)  (>= h, so the 3^D stencil still covers
+    the kernel support) and window copies of wrapped cells carry a
+    whole-period world shift so displacements need no minimum-image.
+    """
+    x = np.asarray(x, np.float32)
+    n, d = x.shape
+
+    per = None if period is None else np.broadcast_to(
+        np.asarray(period, np.float64), (d,)
+    ).astype(np.float64)
+    if per is not None:
+        ncell = np.maximum(np.floor(per / h).astype(np.int64), 3)
+        cell_size = per / ncell  # exact tiling
+    else:
+        ncell = None
+        cell_size = np.full(d, float(h), np.float64)
+
+    fl = np.floor(x.astype(np.float64) / cell_size).astype(np.int64)  # [N,D]
+    if per is not None:
+        # canonical floor within one period (positions may sit outside
+        # [0, period) — wrap them into the canonical tile)
+        fl_canon = np.mod(fl, ncell)
+    else:
+        fl_canon = fl
+
+    # occupied cells, renumbered 0..C-1
+    occ, inv, counts = np.unique(
+        fl_canon, axis=0, return_inverse=True, return_counts=True
+    )
+    inv = inv.ravel()
+    C = len(occ)
+    M = int(counts.max()) if max_per_cell is None else int(max_per_cell)
+    if counts.max() > M:
+        raise ValueError(f"cell occupancy {counts.max()} exceeds M={M}")
+    # TPU-friendly M (lane alignment helps the [M, W] matmuls)
+    M = max(8, int(math.ceil(M / 8)) * 8)
+
+    # slot assignment: stable order within cell
+    order = np.argsort(inv, kind="stable")
+    slot_in_cell = np.zeros(n, np.int64)
+    start = 0
+    for c_idx, cnt in enumerate(counts):
+        slot_in_cell[order[start : start + cnt]] = np.arange(cnt)
+        start += cnt
+    slot_of_particle = inv * M + slot_in_cell
+
+    # Positions are stored CELL-LOCAL (relative to the owning cell's
+    # origin): the gradient moment expansion cancels terms of magnitude
+    # |x| * sum|T A|, so keeping |x| at the cell scale (<= 2 cell_size)
+    # instead of the domain scale preserves ~1 extra f32 digit.
+    origins = (occ.astype(np.float64) * cell_size)  # [C, D]
+    xs = np.full((C + 1, M, d), PAD_POS, np.float32)
+    if per is not None:
+        x_canon = x.astype(np.float64) - (fl - fl_canon) * cell_size
+    else:
+        x_canon = x.astype(np.float64)
+    x_local = (x_canon - origins[inv]).astype(np.float32)
+    xs.reshape(-1, d)[slot_of_particle] = x_local
+
+    cell_to_id = {tuple(c): i for i, c in enumerate(occ)}
+
+    offsets = _stencil_offsets(d)  # [S, D]
+    win_lists: list = []
+    shift_lists: list = []
+    for c_idx in range(C):
+        cells = []
+        shifts = []
+        for off in offsets:
+            t = occ[c_idx] + off  # true target floor
+            if per is not None:
+                t_canon = np.mod(t, ncell)
+                wrap = ((t - t_canon) // ncell).astype(np.float64) * per
+            else:
+                t_canon = t
+                wrap = np.zeros(d)
+            j = cell_to_id.get(tuple(t_canon))
+            if j is None:
+                continue
+            cells.append(j)
+            # total shift converts cell j's LOCAL coordinates into the
+            # query cell's local frame: + origin_j + wrap - origin_c
+            shifts.append(
+                (origins[j] + wrap - origins[c_idx]).astype(np.float32)
+            )
+        win_lists.append(cells)
+        shift_lists.append(shifts)
+
+    Wc = max(len(c) for c in win_lists)
+    if max_window_cells is not None:
+        Wc = max(Wc, int(max_window_cells))
+    win_cells = np.full((C, Wc), C, np.int32)  # pad -> dummy cell
+    win_shift = np.zeros((C, Wc, d), np.float32)
+    for c_idx, (cells, shifts) in enumerate(zip(win_lists, shift_lists)):
+        win_cells[c_idx, : len(cells)] = cells
+        if len(cells):
+            win_shift[c_idx, : len(cells)] = np.stack(shifts)
+
+    # window positions with wrap shifts baked in (dummy stays ~PAD_POS)
+    xw = xs[win_cells] + win_shift[:, :, None, :]  # [C, Wc, M, D]
+    xw = xw.reshape(C, Wc * M, d)
+
+    sig_w = K.get_smoothing_kernel(smoothing).norm(h, d)
+    sig_g = K.get_gradient_kernel(gradient_kernel).norm(h, d)
+
+    zero_t = jnp.zeros((C, M, Wc * M))
+    eng = CellEngine(
+        slot_of_particle=jnp.asarray(slot_of_particle, jnp.int32),
+        xs=jnp.asarray(xs),
+        vs=jnp.zeros((C + 1, M)),  # placeholder until volumes computed
+        win_cells=jnp.asarray(win_cells),
+        xw=jnp.asarray(xw),
+        vw=jnp.zeros((C, Wc * M)),
+        Tw=zero_t,
+        Tg=zero_t,
+        h=jnp.float32(h),
+        sig_w=jnp.float32(sig_w),
+        sig_g=jnp.float32(sig_g),
+    )
+
+    # volumes (v = 1 / (sigma_W sum_w W(d2)), operators_batch.py:70-76)
+    # and the static pair-weight matrices
+    eng = _finalize(
+        eng, smoothing=smoothing, gradient_kernel=gradient_kernel
+    )
+    return eng
+
+
+@partial(jax.jit, static_argnames=("smoothing", "gradient_kernel"))
+def _finalize(
+    eng: CellEngine,
+    *,
+    smoothing: str,
+    gradient_kernel: str,
+) -> CellEngine:
+    kern = K.get_smoothing_kernel(smoothing)
+    d2 = eng.pair_d2()
+    w = kern.w(d2, eng.h)  # [C, M, WM]
+    inv_v = eng.sig_w * jnp.sum(w, axis=-1)
+    # pad slots see only other coincident pad slots (d2 == 0); their
+    # volume is irrelevant but must stay finite
+    v = jnp.where(inv_v > 0.0, 1.0 / jnp.maximum(inv_v, 1e-30), 0.0)
+    vs = jnp.concatenate([v, jnp.zeros_like(v[:1])], axis=0)  # [C+1, M]
+    c, m = eng.num_cells, eng.slots_per_cell
+    vw = vs.reshape(c + 1, m)[eng.win_cells].reshape(c, -1)
+
+    Tw = eng.sig_w * w * vw[:, None, :]
+
+    d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+    inside = (d2 > 0.0) & (d < eng.h)
+    mag = jnp.where(inside, 3.0 * (eng.h - d) ** 2 / d, 0.0)
+    Tg = eng.sig_g * mag * vw[:, None, :]
+    return eng._replace(vs=vs, vw=vw, Tw=Tw, Tg=Tg)
