@@ -60,16 +60,28 @@ def nca_step_cells(
     h,
     fire_rate: Optional[float] = None,
     perception_transform=None,
+    use_pallas: bool = True,
 ) -> Array:
-    """One NCA step in cell layout: S [C+1, M, F] -> [C+1, M, F]."""
+    """One NCA step in cell layout: S [C+1, M, F] -> [C+1, M, F].
+
+    ``use_pallas`` routes perception + life-mask through the fused Pallas
+    pair kernel (ops/pallas/pair_kernel.py); the XLA einsum formulation
+    stays available as a reference path.
+    """
     if fire_rate is None:
         fire_rate = cfg.fire_rate
     c = cfg.channels
 
-    Sw = eng.window(S)  # [C, WM, F] — the phase's one gather
-    prev_mask = _mask_blur_cells(eng, Sw, cfg.use_alpha)
+    if use_pallas:
+        from ..ops.pallas.pair_kernel import mask_blur_pallas, perceive_cells
 
-    gA = eng.gradient(S, Sw=Sw)  # [C+1, M, F, D]
+        gA, pre_sm = perceive_cells(eng, S, cfg.use_alpha)
+        prev_mask = pre_sm > ALIVE_THRESHOLD
+    else:
+        Sw = eng.window(S)  # [C, WM, F] — the phase's one gather
+        prev_mask = _mask_blur_cells(eng, Sw, cfg.use_alpha)
+        gA = eng.gradient(S, Sw=Sw)  # [C+1, M, F, D]
+
     if cfg.normalize_perception > 0:
         gA = h * gA * cfg.normalize_perception
     if perception_transform is not None:
@@ -90,8 +102,15 @@ def nca_step_cells(
     u = jax.random.uniform(key, S.shape[:2])
     nS = jnp.where((u <= fire_rate)[..., None], nS, S)
 
-    nSw = eng.window(nS)
-    new_mask = _mask_blur_cells(eng, nSw, cfg.use_alpha)
+    if use_pallas:
+        from ..ops.pallas.pair_kernel import mask_blur_pallas
+
+        new_sm = mask_blur_pallas(eng, jax.lax.stop_gradient(nS),
+                                  use_alpha=cfg.use_alpha)
+        new_mask = new_sm > ALIVE_THRESHOLD
+    else:
+        nSw = eng.window(nS)
+        new_mask = _mask_blur_cells(eng, nSw, cfg.use_alpha)
     living = (prev_mask & new_mask).astype(nS.dtype)
     return nS * living[..., None]
 
@@ -109,12 +128,14 @@ def rollout_cells(
     fire_rate: Optional[float] = None,
     collect_steps: Optional[Array] = None,
     remat: bool = True,
+    use_pallas: bool = True,
 ):
     """Scan rollout in cell layout; mirrors models/rollout.rollout."""
     from .rollout import RolloutOut
 
     def step_fn(S, k):
-        return nca_step_cells(params, cfg, eng, S, k, h, fire_rate=fire_rate)
+        return nca_step_cells(params, cfg, eng, S, k, h,
+                              fire_rate=fire_rate, use_pallas=use_pallas)
 
     if remat:
         step_fn = jax.checkpoint(step_fn)

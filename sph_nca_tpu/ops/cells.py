@@ -76,10 +76,33 @@ class CellEngine(NamedTuple):
     # anyway, paying write+read instead of read).
     Tw: Array  # [C, M, W*M] blur weights  sigma_W W(d2) v_w
     Tg: Array  # [C, M, W*M] gradient scalar sigma_g spiky_mag v_w
+    # gsum_i = sigma_g sum_k mag_ik r_ik v_k — the self-term of the SPH
+    # gradient adjoint (used by the Pallas custom_vjp backward)
+    gsum: Array  # [C+1, M, D]
+    # block structure for the Pallas kernels: BG=8 Morton-consecutive cells
+    # share one union stencil window, giving [BG*M, Wu*M] pair tiles that
+    # fill the MXU/VPU (single cells are too small a compute unit)
+    blk_xs: Array  # [nb, BG*M, D] block rows in block-local frame
+    blk_win_cells: Array  # [nb, Wu] int32 (pad -> dummy cell C)
+    blk_xw: Array  # [nb, Wu*M, D] union-window positions, block frame
+    blk_vw: Array  # [nb, Wu*M]
     # constants
     h: Array  # scalar f32
     sig_w: Array  # smoothing normalization sigma_W
     sig_g: Array  # gradient normalization sigma_g
+
+    @property
+    def block_cells(self) -> int:
+        return self.blk_xs.shape[1] // self.xs.shape[1]
+
+    def block_window(self, S: Array) -> Array:
+        """[C+1, M, F] -> [nb, Wu*M, F] union-window states (one gather)."""
+        c, m = self.num_cells, self.slots_per_cell
+        F = S.shape[-1]
+        nb, wu = self.blk_win_cells.shape
+        return S.reshape(c + 1, m * F)[self.blk_win_cells].reshape(
+            nb, wu * m, F
+        )
 
     @property
     def num_cells(self) -> int:
@@ -198,6 +221,21 @@ class CellEngine(NamedTuple):
         return self.blur(ones)[..., 0]
 
 
+def _morton_code(c: np.ndarray) -> np.ndarray:
+    """Interleave coordinate bits -> Z-order code. c: [C, D] non-negative."""
+    c = np.asarray(c, np.int64)
+    nbits = max(1, int(np.max(c)).bit_length())
+    d = c.shape[1]
+    code = np.zeros(len(c), np.int64)
+    for bit in range(nbits):
+        for ax in range(d):
+            code |= ((c[:, ax] >> bit) & 1) << (d * bit + ax)
+    return code
+
+
+BG = 8  # cells per Pallas block
+
+
 def build_cell_engine(
     x,
     h: float,
@@ -241,12 +279,21 @@ def build_cell_engine(
     else:
         fl_canon = fl
 
-    # occupied cells, renumbered 0..C-1
+    # occupied cells, renumbered 0..C-1 in MORTON order (so consecutive
+    # cell ids are spatially adjacent — the Pallas block structure groups
+    # 8 consecutive cells under one union stencil window)
     occ, inv, counts = np.unique(
         fl_canon, axis=0, return_inverse=True, return_counts=True
     )
     inv = inv.ravel()
     C = len(occ)
+    morton = _morton_code(occ - occ.min(axis=0))
+    perm = np.argsort(morton, kind="stable")
+    occ = occ[perm]
+    counts = counts[perm]
+    newid = np.empty(C, np.int64)
+    newid[perm] = np.arange(C)
+    inv = newid[inv]
     M = int(counts.max()) if max_per_cell is None else int(max_per_cell)
     if counts.max() > M:
         raise ValueError(f"cell occupancy {counts.max()} exceeds M={M}")
@@ -303,19 +350,63 @@ def build_cell_engine(
         win_lists.append(cells)
         shift_lists.append(shifts)
 
+    # pad the cell count to a multiple of 16 so kernel grids can block
+    # cells regularly (padding cells have empty windows and PAD_POS slots)
+    C_pad = int(math.ceil(C / 16)) * 16
+    if C_pad != C:
+        xs = np.concatenate(
+            [xs[:C], np.full((C_pad - C + 1, M, d), PAD_POS, np.float32)]
+        )
+
     Wc = max(len(c) for c in win_lists)
     if max_window_cells is not None:
         Wc = max(Wc, int(max_window_cells))
-    win_cells = np.full((C, Wc), C, np.int32)  # pad -> dummy cell
-    win_shift = np.zeros((C, Wc, d), np.float32)
+    win_cells = np.full((C_pad, Wc), C_pad, np.int32)  # pad -> dummy cell
+    win_shift = np.zeros((C_pad, Wc, d), np.float32)
     for c_idx, (cells, shifts) in enumerate(zip(win_lists, shift_lists)):
         win_cells[c_idx, : len(cells)] = cells
         if len(cells):
             win_shift[c_idx, : len(cells)] = np.stack(shifts)
+    C = C_pad
 
     # window positions with wrap shifts baked in (dummy stays ~PAD_POS)
     xw = xs[win_cells] + win_shift[:, :, None, :]  # [C, Wc, M, D]
     xw = xw.reshape(C, Wc * M, d)
+
+    # ---- block structure (BG Morton-consecutive cells, union window) ----
+    nb = C // BG
+    origins_pad = np.zeros((C, d))
+    origins_pad[: len(origins)] = origins
+    blk_unions = []
+    for b in range(nb):
+        # union of (cell, total-shift) entries over the block's cells,
+        # re-expressed in the BLOCK frame (origin of the first cell)
+        blk_origin = origins_pad[b * BG]
+        seen = {}
+        for ci in range(b * BG, min((b + 1) * BG, len(win_lists))):
+            for j, sh in zip(win_lists[ci], shift_lists[ci]):
+                # shift was (origin_j + wrap - origin_ci); re-base to block
+                total = sh + (origins_pad[ci] - blk_origin).astype(np.float32)
+                key = (j, tuple(np.round(total / max(float(h), 1e-9)).astype(int)))
+                if key not in seen:
+                    seen[key] = (j, total)
+        blk_unions.append(list(seen.values()))
+
+    Wu = max(1, max(len(u) for u in blk_unions))
+    blk_win_cells = np.full((nb, Wu), C, np.int32)
+    blk_shift = np.zeros((nb, Wu, d), np.float32)
+    for b, entries in enumerate(blk_unions):
+        for s_i, (j, total) in enumerate(entries):
+            blk_win_cells[b, s_i] = j
+            blk_shift[b, s_i] = total
+
+    blk_xw = xs[blk_win_cells] + blk_shift[:, :, None, :]
+    blk_xw = blk_xw.reshape(nb, Wu * M, d)
+    # block rows in the block frame
+    row_shift = (origins_pad - origins_pad[(np.arange(C) // BG) * BG])
+    blk_xs = (xs[:C] + row_shift[:, None, :].astype(np.float32)).reshape(
+        nb, BG * M, d
+    )
 
     sig_w = K.get_smoothing_kernel(smoothing).norm(h, d)
     sig_g = K.get_gradient_kernel(gradient_kernel).norm(h, d)
@@ -330,6 +421,11 @@ def build_cell_engine(
         vw=jnp.zeros((C, Wc * M)),
         Tw=zero_t,
         Tg=zero_t,
+        gsum=jnp.zeros((C + 1, M, d)),
+        blk_xs=jnp.asarray(blk_xs),
+        blk_win_cells=jnp.asarray(blk_win_cells),
+        blk_xw=jnp.asarray(blk_xw),
+        blk_vw=jnp.zeros((nb, Wu * M)),
         h=jnp.float32(h),
         sig_w=jnp.float32(sig_w),
         sig_g=jnp.float32(sig_g),
@@ -367,4 +463,17 @@ def _finalize(
     inside = (d2 > 0.0) & (d < eng.h)
     mag = jnp.where(inside, 3.0 * (eng.h - d) ** 2 / d, 0.0)
     Tg = eng.sig_g * mag * vw[:, None, :]
-    return eng._replace(vs=vs, vw=vw, Tw=Tw, Tg=Tg)
+
+    # gradient-adjoint self term: sigma_g sum_k mag v (xw - xb)
+    s_xw = jnp.einsum(
+        "cmw,cwd->cmd", Tg, eng.xw, precision=jax.lax.Precision.HIGHEST
+    )
+    s_t = jnp.sum(Tg, axis=-1)
+    gsum = s_xw - eng.xs[:-1] * s_t[..., None]
+    gsum = jnp.concatenate([gsum, jnp.zeros_like(gsum[:1])], axis=0)
+
+    nb = eng.blk_win_cells.shape[0]
+    blk_vw = vs.reshape(c + 1, m)[eng.blk_win_cells].reshape(nb, -1)
+    return eng._replace(
+        vs=vs, vw=vw, Tw=Tw, Tg=Tg, gsum=gsum, blk_vw=blk_vw
+    )

@@ -1,0 +1,354 @@
+"""Pallas TPU kernels: fused SPH pair pass over the cell-dense layout.
+
+The XLA formulation of the cell engine (ops/cells.py) materializes pair
+matrices T [C, M, WM] in HBM and lowers the per-cell contractions as
+batched tiny matmuls, measuring ~20x off the roofline on v5e. These
+kernels process one BLOCK of BG=8 Morton-consecutive cells per program —
+[BG*M, Wu*M] pair tiles that actually fill the MXU/VPU — and fuse the
+whole pass in VMEM:
+
+    d2   = |xb|^2 + |xw|^2 - 2 xb xw^T           (MXU cross term)
+    Tg   = sigma_g spiky_mag(d2) * v_w            (VPU)
+    Tw   = sigma_W poly6(d2)     * v_w            (VPU)
+    mom  = Tg @ [Aw, Aw*xw_d, xw, 1]              (MXU, [P,W]@[W,K])
+    gA   = combine(mom, xb, Ab)                   (VPU moment expansion)
+    mask = Tw @ alive(Aw)                         (MXU column)
+
+so the only HBM traffic is the union-window states (pre-gathered outside
+by one cell-granularity XLA gather — measured at full bandwidth) plus
+per-block geometry. No T matrices ever exist. Block-local coordinate
+frames keep the f32 moment cancellation benign.
+
+The backward pass is the same shape of pair pass: the adjoint of the SPH
+gradient is again a neighborhood operator (the reference hand-derives the
+identical gather-form adjoint in operators_batch.py:238-343):
+
+    dL/dA_j = sigma_g v_j sum_i mag_ij (x_j - x_i) . gbar_i - gbar_j . gsum_j
+
+with gsum precomputed per geometry (CellEngine.gsum). Life-mask smoothing
+is stop-gradient in the model (nca.py:76) and contributes no cotangent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cells import CellEngine
+
+Array = jnp.ndarray
+
+
+def _interpret() -> bool:
+    """Interpret mode off-TPU (hermetic CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def _pair_d2(xb, xw):
+    """[P, D] x [W, D] -> squared distances [P, W].
+
+    Direct per-axis differences (NOT the |a|^2+|b|^2-2ab matmul trick):
+    the spiky magnitude 3(h-d)^2/d amplifies d2 error by ~(h/d)^2 near
+    d -> 0, so d2 must be computed cancellation-free.
+    """
+    d2 = jnp.zeros((xb.shape[0], xw.shape[0]), jnp.float32)
+    for d in range(xb.shape[1]):
+        r_d = xw[:, d][None, :] - xb[:, d][:, None]
+        d2 = d2 + r_d * r_d
+    return d2
+
+
+def _spiky_mag(d2, h):
+    d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+    inside = (d2 > 0.0) & (d < h)
+    return jnp.where(inside, 3.0 * (h - d) ** 2 / d, 0.0)
+
+
+def _fwd_kernel(
+    scal_ref,  # SMEM [4]: h, sig_w, sig_g, alive_thr
+    xb_ref,  # [P, D]   block rows (block-local frame)
+    ab_ref,  # [P, F]   block states
+    xw_ref,  # [W, D]   union window positions (block frame)
+    vw_ref,  # [1, W]   union window volumes
+    sw_ref,  # [W, F]   union window states
+    ga_ref,  # out [P, F*D] (d-major)
+    sm_ref,  # out [1, P]
+    *,
+    use_alpha: bool,
+):
+    h = scal_ref[0]
+    sig_w = scal_ref[1]
+    sig_g = scal_ref[2]
+    thr = scal_ref[3]
+    p, ddim = xb_ref.shape
+    f = ab_ref.shape[-1]
+
+    xb = xb_ref[:]
+    xw = xw_ref[:]
+    vw = vw_ref[:]  # [1, W]
+    aw = sw_ref[:]
+    ab = ab_ref[:]
+
+    d2 = _pair_d2(xb, xw)
+    Tg = sig_g * _spiky_mag(d2, h) * vw
+    Tw = sig_w * jnp.maximum(h * h - d2, 0.0) ** 3 * vw
+
+    # life-mask smoothing
+    if use_alpha:
+        alive = (aw[:, 3] > thr).astype(jnp.float32)[None, :]
+    else:
+        alive = (vw > 0.0).astype(jnp.float32)
+    sm_ref[:] = jnp.sum(Tw * alive, axis=-1)[None, :]
+
+    # Direct displacement form (no moment expansion — forming T * r_d from
+    # pair displacements keeps f32 exact at the pair level, frame-free):
+    #   grad_d = (Tg*r_d) @ Aw - Ab * rowsum(Tg*r_d)
+    out = []
+    for d in range(ddim):
+        r_d = xw[:, d][None, :] - xb[:, d][:, None]  # [P, W]
+        td = Tg * r_d
+        g_d = jax.lax.dot_general(
+            td, aw,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) - ab * jnp.sum(td, axis=-1, keepdims=True)
+        out.append(g_d)
+    ga_ref[:] = jnp.concatenate(out, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("use_alpha",))
+def fused_perception_pallas(
+    eng: CellEngine, S: Array, *, use_alpha: bool = True
+) -> Tuple[Array, Array]:
+    """Fused SPH gradient + life-mask smoothing.
+
+    S [C+1, M, F] -> (gA [C+1, M, F, D], sm [C+1, M]).
+    ``sm`` is the smoothed alive indicator (pre-threshold); the model
+    treats it as stop-gradient (nca.py:76).
+    """
+    c1, m, f = S.shape
+    c = c1 - 1
+    ddim = eng.xs.shape[-1]
+    nb = eng.blk_win_cells.shape[0]
+    p = eng.blk_xs.shape[1]  # BG*M
+    w = eng.blk_xw.shape[1]  # Wu*M
+
+    Sw = eng.block_window(S)  # [nb, W, F] — the one XLA gather
+    ab = S[:-1].reshape(nb, p, f)
+
+    scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
+
+    ga, sm = pl.pallas_call(
+        functools.partial(_fwd_kernel, use_alpha=use_alpha),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, p, f * ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, p, f * ddim), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, p), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(scal, eng.blk_xs, ab, eng.blk_xw, eng.blk_vw[:, None, :], Sw)
+
+    # [nb, p, D*F] -> [C, M, F, D]; append dummy cell row
+    ga = ga.reshape(c, m, ddim, f).transpose(0, 1, 3, 2)
+    ga = jnp.concatenate([ga, jnp.zeros_like(ga[:1])], axis=0)
+    sm = sm.reshape(c, m)
+    sm = jnp.concatenate([sm, jnp.zeros_like(sm[:1])], axis=0)
+    return ga, sm
+
+
+# ---------------------------------------------------------------------------
+# Backward: adjoint of the SPH gradient w.r.t. A (positions are static)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    scal_ref,  # SMEM [4]
+    xb_ref,  # [P, D]
+    vs_ref,  # [1, P]
+    gsum_ref,  # [P, D]
+    gbar_ref,  # [P, F*D] own cotangent (d-major)
+    xw_ref,  # [W, D]
+    gw_ref,  # [W, F*D] window cotangents (d-major)
+    da_ref,  # out [P, F]
+):
+    h = scal_ref[0]
+    sig_g = scal_ref[2]
+    p, ddim = xb_ref.shape
+    fd = gbar_ref.shape[-1]
+    f = fd // ddim
+
+    xb = xb_ref[:]
+    xw = xw_ref[:]
+    gw = gw_ref[:]
+
+    mag = _spiky_mag(_pair_d2(xb, xw), h)  # [P, W]
+
+    # term1 = sigma_g v_j sum_d (mag * r_d) @ gbar_d  with r = x_j - x_i
+    acc = jnp.zeros((p, f), jnp.float32)
+    for d_i in range(ddim):
+        r_d = xb[:, d_i][:, None] - xw[:, d_i][None, :]  # [P, W]
+        acc = acc + jax.lax.dot_general(
+            mag * r_d, gw[:, d_i * f : (d_i + 1) * f],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    term1 = sig_g * vs_ref[0][:, None] * acc
+
+    gb = gbar_ref[:]
+    gsum = gsum_ref[:]
+    t2 = jnp.zeros((p, f), jnp.float32)
+    for d_i in range(ddim):
+        t2 = t2 + gsum[:, d_i : d_i + 1] * gb[:, d_i * f : (d_i + 1) * f]
+    da_ref[:] = term1 - t2
+
+
+@jax.jit
+def gradient_adjoint_pallas(
+    eng: CellEngine, gsum: Array, gbar: Array
+) -> Array:
+    """dL/dS of the SPH gradient: gbar [C+1, M, F, D] -> [C+1, M, F].
+
+    IMPORTANT frame note: term1 mixes window positions with the query row
+    positions, so the window copies must carry the same wrap shifts as the
+    forward — which eng.blk_xw provides. The cotangents themselves are
+    frame-independent.
+    """
+    c1, m, f, ddim = gbar.shape
+    c = c1 - 1
+    nb = eng.blk_win_cells.shape[0]
+    p = eng.blk_xs.shape[1]
+    w = eng.blk_xw.shape[1]
+
+    gflat = gbar.transpose(0, 1, 3, 2).reshape(c1, m, ddim * f)
+    gw = eng.block_window(gflat)  # [nb, W, D*F]
+
+    scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
+
+    (da,) = pl.pallas_call(
+        _bwd_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((nb, p, f), jnp.float32)],
+        interpret=_interpret(),
+    )(
+        scal,
+        eng.blk_xs,
+        eng.vs[:-1].reshape(nb, 1, p),
+        gsum[:-1].reshape(nb, p, ddim),
+        gflat[:-1].reshape(nb, p, ddim * f),
+        eng.blk_xw,
+        gw,
+    )
+    da = da.reshape(c, m, f)
+    return jnp.concatenate([da, jnp.zeros_like(da[:1])], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp op used by the model step
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def perceive_cells(eng: CellEngine, S: Array, use_alpha: bool = True):
+    """(gA, mask_smooth): differentiable w.r.t. S through gA only
+    (mask_smooth is stop-gradient by construction, reference nca.py:76)."""
+    ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha)
+    return ga, jax.lax.stop_gradient(sm)
+
+
+def _perceive_fwd(eng, S, use_alpha):
+    ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha)
+    return (ga, jax.lax.stop_gradient(sm)), eng
+
+
+def _perceive_bwd(use_alpha, eng, cots):
+    gbar, _ = cots  # mask cotangent discarded (stop-gradient)
+    da = gradient_adjoint_pallas(eng, eng.gsum, gbar)
+    return (None, da)
+
+
+perceive_cells.defvjp(_perceive_fwd, _perceive_bwd)
+
+
+# ---------------------------------------------------------------------------
+# standalone life-mask blur (post-update mask)
+# ---------------------------------------------------------------------------
+
+
+def _mask_kernel(
+    scal_ref,  # SMEM [4]
+    xb_ref,  # [P, D]
+    xw_ref,  # [W, D]
+    vw_ref,  # [1, W]
+    aw_ref,  # [1, W] alive indicator of window slots
+    sm_ref,  # out [1, P]
+):
+    h = scal_ref[0]
+    sig_w = scal_ref[1]
+    d2 = _pair_d2(xb_ref[:], xw_ref[:])
+    Tw = sig_w * jnp.maximum(h * h - d2, 0.0) ** 3 * vw_ref[:]
+    sm_ref[:] = jnp.sum(Tw * aw_ref[:], axis=-1)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("use_alpha",))
+def mask_blur_pallas(
+    eng: CellEngine, S: Array, *, use_alpha: bool = True
+) -> Array:
+    """Life-mask smoothing only: S [C+1, M, F] -> sm [C+1, M]."""
+    c1, m, f = S.shape
+    c = c1 - 1
+    ddim = eng.xs.shape[-1]
+    nb = eng.blk_win_cells.shape[0]
+    p = eng.blk_xs.shape[1]
+    w = eng.blk_xw.shape[1]
+
+    if use_alpha:
+        act = (S[..., 3] > 0.1).astype(jnp.float32)[..., None]  # [C+1, M, 1]
+        aw = eng.block_window(act)[..., 0]  # [nb, W]
+    else:
+        aw = (eng.blk_vw > 0.0).astype(jnp.float32)
+
+    scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
+
+    (sm,) = pl.pallas_call(
+        _mask_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((nb, 1, p), jnp.float32)],
+        interpret=_interpret(),
+    )(scal, eng.blk_xs, eng.blk_xw, eng.blk_vw[:, None, :], aw[:, None, :])
+    sm = sm.reshape(c, m)
+    return jnp.concatenate([sm, jnp.zeros_like(sm[:1])], axis=0)

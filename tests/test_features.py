@@ -1,0 +1,123 @@
+"""Feature extractors (VGG19-in-JAX, CLIP ViT-B/32-in-JAX) + loss plumbing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sph_nca_tpu.training.clip_encoder import (
+    CLIPImageEncoder,
+    get_clip_encoder,
+    random_clip_encoder,
+)
+from sph_nca_tpu.training.features import (
+    VGGFeatures,
+    get_vgg_features,
+    random_vgg19_features,
+    scale_pyramid,
+)
+from sph_nca_tpu.training.losses import (
+    CLIPLossConfig,
+    OTLossConfig,
+    clip_loss,
+    ot_loss,
+    spherical_distance,
+)
+
+
+def test_vgg_feature_shapes():
+    vgg = random_vgg19_features()
+    img = jnp.asarray(np.random.default_rng(0).random((64, 64, 3)), jnp.float32)
+    feats = vgg(img)
+    assert len(feats) == 5
+    # conv_1/2 at 64x64, conv_3/4 at 32x32, conv_5 at 16x16
+    assert feats[0].shape == (64 * 64, 64)
+    assert feats[1].shape == (64 * 64, 64)
+    assert feats[2].shape == (32 * 32, 128)
+    assert feats[3].shape == (32 * 32, 128)
+    assert feats[4].shape == (16 * 16, 256)
+
+
+def test_vgg_weight_roundtrip(tmp_path):
+    import numpy as np
+
+    from sph_nca_tpu.training.features import load_vgg19_features
+
+    vgg = random_vgg19_features(3)
+    np.savez(
+        tmp_path / "vgg.npz",
+        **{
+            f"conv{i+1}_w": np.asarray(w)
+            for i, w in enumerate(vgg.weights)
+        },
+        **{
+            f"conv{i+1}_b": np.asarray(b)
+            for i, b in enumerate(vgg.biases)
+        },
+    )
+    vgg2 = load_vgg19_features(str(tmp_path / "vgg.npz"))
+    img = jnp.ones((32, 32, 3)) * 0.5
+    f1 = vgg(img)
+    f2 = vgg2(img)
+    for a, b in zip(f1, f2):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ot_loss_prefers_matching_texture():
+    """OT loss of an image against itself < against a different image."""
+    rng = np.random.default_rng(0)
+    vgg = random_vgg19_features()
+    tgt = jnp.asarray(rng.random((32, 32, 4)), jnp.float32)
+    cfg = OTLossConfig(image_size=32, overflow_weight=0.0)
+    target_rgb = tgt[..., :3]
+    target_feats = vgg(target_rgb)
+
+    x = jnp.zeros((32 * 32, 2))
+    A_match = jnp.concatenate(
+        [tgt.reshape(-1, 4), jnp.zeros((32 * 32, 12))], -1
+    )
+    A_other = jnp.asarray(rng.random((32 * 32, 16)), jnp.float32)
+    key = jax.random.key(0)
+    l_match = float(ot_loss(x, A_match, target_feats, target_rgb, vgg, key, cfg))
+    l_other = float(ot_loss(x, A_other, target_feats, target_rgb, vgg, key, cfg))
+    assert l_match < l_other
+
+
+def test_clip_encoder_shapes_and_norm():
+    enc = random_clip_encoder()
+    img = jnp.asarray(np.random.default_rng(0).random((64, 64, 3)), jnp.float32)
+    e = enc(img)
+    assert e.shape == (512,)
+    assert np.isclose(float(jnp.linalg.norm(e)), 1.0, atol=1e-5)
+
+
+def test_spherical_distance():
+    u = jnp.asarray([[1.0, 0.0]])
+    assert float(spherical_distance(u, u)) < 1e-10
+    v = jnp.asarray([[0.0, 1.0]])
+    # |u-v| = sqrt(2) -> 2*arcsin(sqrt(2)/2)^2 = 2*(pi/4)^2
+    assert np.isclose(
+        float(spherical_distance(u, v)), 2 * (np.pi / 4) ** 2, atol=1e-6
+    )
+
+
+def test_clip_loss_runs_end_to_end():
+    enc = random_clip_encoder()
+    rng = np.random.default_rng(0)
+    text_feat = jnp.asarray(rng.normal(size=512), jnp.float32)
+    text_feat = text_feat / jnp.linalg.norm(text_feat)
+    cfg = CLIPLossConfig(image_size=16, scales=(1.0, 0.5), overflow_weight=0.05)
+    x = jnp.zeros((256, 2))
+    A = jnp.asarray(rng.random((256, 16)), jnp.float32)
+    l = clip_loss(x, A, text_feat, enc, jax.random.key(0), cfg)
+    assert np.isfinite(float(l))
+    # differentiable
+    g = jax.grad(lambda A: clip_loss(x, A, text_feat, enc, jax.random.key(0), cfg))(A)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_scale_pyramid():
+    img = jnp.ones((32, 32, 3))
+    views = scale_pyramid(img, (1.0, 2.0, 0.5), jax.random.key(0))
+    assert views[0].shape == (32, 32, 3)
+    assert views[1].shape == (16, 16, 3)
+    assert views[2].shape == (16, 16, 3)
