@@ -41,40 +41,39 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sph_nca_tpu import ops
-    from sph_nca_tpu.models import SPHNCAConfig, init_params, rollout
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sph_nca_jax_cache")
+
+    from sph_nca_tpu.models import SPHNCAConfig, init_params
+    from sph_nca_tpu.models.cell_step import rollout_cells
+    from sph_nca_tpu.ops.cells import build_cell_engine
 
     x_np = fibonacci_sphere(N_POINTS)
     # Support radius sized for ~30 neighbors on the surface disc
     # (demo shows 20-40 neighbors at its defaults, SURVEY.md §7).
     area_per_point = 4.0 * np.pi * 0.8**2 / N_POINTS
     h = float(np.sqrt(30.0 * area_per_point / np.pi))
-    dims = ops.default_dims(h)
 
-    x = jnp.asarray(x_np)
-    mpc, k = ops.suggest_capacity(x_np, h, dims)
-    graph = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k)
-    graph = jax.tree.map(lambda a: a.block_until_ready(), graph)
-    assert int(graph.valid.sum(-1).min()) > 0
+    eng = build_cell_engine(x_np, h)
 
     cfg = SPHNCAConfig(normalize_perception=1.0 / h)
     params = init_params(jax.random.key(0), cfg)
     A0 = jax.random.uniform(jax.random.key(1), (N_POINTS, cfg.channels))
+    S0 = eng.scatter(A0)
 
     roll = jax.jit(
-        lambda p, g, A, key: rollout(
-            p, cfg, g, A, key, STEPS, h, remat=False
+        lambda p, e, S, key: rollout_cells(
+            p, cfg, e, S, key, STEPS, h, remat=False
         ).final
     )
 
     # warmup/compile; force full completion with a host readback
     # (block_until_ready alone does not block under the axon tunnel)
-    np.asarray(roll(params, graph, A0, jax.random.key(2)).ravel()[:1])
+    np.asarray(roll(params, eng, S0, jax.random.key(2)).ravel()[:1])
 
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        np.asarray(roll(params, graph, A0, jax.random.key(3 + rep)).ravel()[:1])
+        np.asarray(roll(params, eng, S0, jax.random.key(3 + rep)).ravel()[:1])
         best = min(best, time.perf_counter() - t0)
 
     value = N_POINTS * STEPS / best

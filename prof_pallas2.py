@@ -42,3 +42,32 @@ def repm(e, S):
 _ = np.asarray(repm(eng, S0))
 t0=time.perf_counter(); _ = np.asarray(repm(eng, S0))
 log(f"mask blur: {(time.perf_counter()-t0-0.04)/R*1e3:.2f} ms")
+
+# full rollout
+from sph_nca_tpu.models.cell_step import rollout_cells
+cfg = SPHNCAConfig(normalize_perception=1.0/h)
+params = init_params(jax.random.key(0), cfg)
+roll = jax.jit(lambda p, e, S, key: rollout_cells(p, cfg, e, S, key, 64, h, remat=False).final)
+log("compiling rollout")
+_ = np.asarray(roll(params, eng, S0, jax.random.key(2)).ravel()[:1])
+t0=time.perf_counter(); _ = np.asarray(roll(params, eng, S0, jax.random.key(3)).ravel()[:1])
+dt = time.perf_counter()-t0
+log(f"64-step pallas rollout: {dt*1e3:.1f} ms -> {dt/64*1e3:.2f} ms/step -> {N*64/dt/1e6:.1f}M pps")
+# training step (with backward)
+import optax
+from sph_nca_tpu.training import make_optimizer
+opt = make_optimizer(3e-3)
+ost = opt.init(params)
+@jax.jit
+def train_step(p, ost, e, S, key):
+    def loss_fn(p):
+        out = rollout_cells(p, cfg, e, S, key, 32, h, remat=True)
+        return jnp.mean(out.final**2)
+    l, g = jax.value_and_grad(loss_fn)(p)
+    up, ost2 = opt.update(g, ost, p)
+    return optax.apply_updates(p, up), ost2, l
+log("compiling train step")
+p2, o2, l = train_step(params, ost, eng, S0, jax.random.key(4)); _ = float(l)
+t0=time.perf_counter(); p2, o2, l = train_step(params, ost, eng, S0, jax.random.key(5)); _ = float(l)
+dt = time.perf_counter()-t0
+log(f"32-step train step (fwd+bwd): {dt*1e3:.1f} ms -> {N*32/dt/1e6:.1f}M pps trained")

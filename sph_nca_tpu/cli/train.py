@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vgg_weights", type=str, default="",
                    help="npz with VGG19 conv weights for the OT loss")
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--engine", choices=["cells", "graph"], default="cells",
+                   help="neighborhood engine: cell-dense+Pallas (fast) or "
+                        "fixed-K neighbor lists")
     return p
 
 
@@ -149,18 +152,31 @@ def main(argv=None) -> int:
         x = x2
         period = jnp.asarray(gsize) if args.wrap else None
 
-    dims = ops.default_dims(h)
-    mpc, k = ops.suggest_capacity(
-        np.asarray(x), h, dims, period=np.asarray(period) if args.wrap else None
-    )
     t0 = time.time()
-    graph = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k, period=period)
-    nd = int(graph.valid.sum())
-    print(
-        f"graph: n={x.shape[0]} k={k} max_per_cell={mpc} "
-        f"({time.time() - t0:.1f}s, avg {nd / x.shape[0]:.1f} nbrs"
-        f"{', periodic' if args.wrap else ''})"
-    )
+    if args.engine == "cells":
+        from ..ops.cells import build_cell_engine
+
+        graph = build_cell_engine(x, h, period=period)
+        print(
+            f"cell engine: n={x.shape[0]} C={graph.num_cells} "
+            f"M={graph.slots_per_cell} ({time.time() - t0:.1f}s"
+            f"{', periodic' if args.wrap else ''})"
+        )
+    else:
+        dims = ops.default_dims(h)
+        mpc, k = ops.suggest_capacity(
+            np.asarray(x), h, dims,
+            period=np.asarray(period) if args.wrap else None,
+        )
+        graph = ops.build_graph(
+            x, h, dims, max_per_cell=mpc, k=k, period=period
+        )
+        nd = int(graph.valid.sum())
+        print(
+            f"graph: n={x.shape[0]} k={k} max_per_cell={mpc} "
+            f"({time.time() - t0:.1f}s, avg {nd / x.shape[0]:.1f} nbrs"
+            f"{', periodic' if args.wrap else ''})"
+        )
 
     # --- model + losses ---------------------------------------------------
     model_cfg = SPHNCAConfig(

@@ -81,10 +81,13 @@ class CellEngine(NamedTuple):
     gsum: Array  # [C+1, M, D]
     # block structure for the Pallas kernels: BG=8 Morton-consecutive cells
     # share one union stencil window, giving [BG*M, Wu*M] pair tiles that
-    # fill the MXU/VPU (single cells are too small a compute unit)
-    blk_xs: Array  # [nb, BG*M, D] block rows in block-local frame
+    # fill the MXU/VPU (single cells are too small a compute unit).
+    # Positions are stored COORDINATE-MAJOR ([D, P] / [D, W]): per-axis
+    # rows are then natural lane vectors in the kernels (slicing a
+    # lane-dim-3 array per axis makes Mosaic spill catastrophically).
+    blk_xs: Array  # [nb, D, BG*M] block rows in block-local frame
     blk_win_cells: Array  # [nb, Wu] int32 (pad -> dummy cell C)
-    blk_xw: Array  # [nb, Wu*M, D] union-window positions, block frame
+    blk_xw: Array  # [nb, D, Wu*M] union-window positions, block frame
     blk_vw: Array  # [nb, Wu*M]
     # constants
     h: Array  # scalar f32
@@ -93,7 +96,7 @@ class CellEngine(NamedTuple):
 
     @property
     def block_cells(self) -> int:
-        return self.blk_xs.shape[1] // self.xs.shape[1]
+        return self.blk_xs.shape[2] // self.xs.shape[1]
 
     def block_window(self, S: Array) -> Array:
         """[C+1, M, F] -> [nb, Wu*M, F] union-window states (one gather)."""
@@ -233,7 +236,7 @@ def _morton_code(c: np.ndarray) -> np.ndarray:
     return code
 
 
-BG = 8  # cells per Pallas block
+BG = 16  # subcells per Pallas block (P = BG * M = 128 rows)
 
 
 def build_cell_engine(
@@ -286,28 +289,40 @@ def build_cell_engine(
         fl_canon, axis=0, return_inverse=True, return_counts=True
     )
     inv = inv.ravel()
-    C = len(occ)
+    n_geo = len(occ)
     morton = _morton_code(occ - occ.min(axis=0))
     perm = np.argsort(morton, kind="stable")
     occ = occ[perm]
     counts = counts[perm]
-    newid = np.empty(C, np.int64)
-    newid[perm] = np.arange(C)
+    newid = np.empty(n_geo, np.int64)
+    newid[perm] = np.arange(n_geo)
     inv = newid[inv]
-    M = int(counts.max()) if max_per_cell is None else int(max_per_cell)
-    if counts.max() > M:
-        raise ValueError(f"cell occupancy {counts.max()} exceeds M={M}")
-    # TPU-friendly M (lane alignment helps the [M, W] matmuls)
-    M = max(8, int(math.ceil(M / 8)) * 8)
 
-    # slot assignment: stable order within cell
+    # SUBCELL SPLIT: cap slots per row-group at M (default 8) and split
+    # fatter geometric cells into several subcells sharing the same floor
+    # coords. This keeps slot padding tight when cell occupancy has a fat
+    # tail (e.g. curved surfaces), which directly multiplies the pair-pass
+    # compute. All downstream structures operate on subcells.
+    M = 8 if max_per_cell is None else max(8, int(math.ceil(max_per_cell / 8)) * 8)
+    n_sub = np.maximum(1, -(-counts // M))  # subcells per geometric cell
+    sub_start = np.concatenate([[0], np.cumsum(n_sub)])
+    C = int(sub_start[-1])
+    # subcell -> geometric cell
+    geo_of_sub = np.repeat(np.arange(n_geo), n_sub)
+    # occ becomes per-subcell floor coords
+    occ = occ[geo_of_sub]
+
+    # slot assignment: within a geometric cell, particle k goes to
+    # subcell k // M, slot k % M
     order = np.argsort(inv, kind="stable")
     slot_in_cell = np.zeros(n, np.int64)
     start = 0
     for c_idx, cnt in enumerate(counts):
         slot_in_cell[order[start : start + cnt]] = np.arange(cnt)
         start += cnt
-    slot_of_particle = inv * M + slot_in_cell
+    sub_of_particle = sub_start[inv] + slot_in_cell // M
+    slot_of_particle = sub_of_particle * M + slot_in_cell % M
+    inv = sub_of_particle  # particles' owning SUBCELL id
 
     # Positions are stored CELL-LOCAL (relative to the owning cell's
     # origin): the gradient moment expansion cancels terms of magnitude
@@ -322,7 +337,10 @@ def build_cell_engine(
     x_local = (x_canon - origins[inv]).astype(np.float32)
     xs.reshape(-1, d)[slot_of_particle] = x_local
 
-    cell_to_id = {tuple(c): i for i, c in enumerate(occ)}
+    # floor coords -> list of subcell ids
+    cell_to_ids: dict = {}
+    for i, c in enumerate(occ):
+        cell_to_ids.setdefault(tuple(c), []).append(i)
 
     offsets = _stencil_offsets(d)  # [S, D]
     win_lists: list = []
@@ -338,15 +356,13 @@ def build_cell_engine(
             else:
                 t_canon = t
                 wrap = np.zeros(d)
-            j = cell_to_id.get(tuple(t_canon))
-            if j is None:
-                continue
-            cells.append(j)
-            # total shift converts cell j's LOCAL coordinates into the
-            # query cell's local frame: + origin_j + wrap - origin_c
-            shifts.append(
-                (origins[j] + wrap - origins[c_idx]).astype(np.float32)
-            )
+            for j in cell_to_ids.get(tuple(t_canon), ()):
+                cells.append(j)
+                # total shift converts subcell j's LOCAL coordinates into
+                # the query cell's frame: + origin_j + wrap - origin_c
+                shifts.append(
+                    (origins[j] + wrap - origins[c_idx]).astype(np.float32)
+                )
         win_lists.append(cells)
         shift_lists.append(shifts)
 
@@ -401,12 +417,12 @@ def build_cell_engine(
             blk_shift[b, s_i] = total
 
     blk_xw = xs[blk_win_cells] + blk_shift[:, :, None, :]
-    blk_xw = blk_xw.reshape(nb, Wu * M, d)
+    blk_xw = blk_xw.reshape(nb, Wu * M, d).transpose(0, 2, 1)  # [nb, D, W]
     # block rows in the block frame
     row_shift = (origins_pad - origins_pad[(np.arange(C) // BG) * BG])
     blk_xs = (xs[:C] + row_shift[:, None, :].astype(np.float32)).reshape(
         nb, BG * M, d
-    )
+    ).transpose(0, 2, 1)  # [nb, D, P]
 
     sig_w = K.get_smoothing_kernel(smoothing).norm(h, d)
     sig_g = K.get_gradient_kernel(gradient_kernel).norm(h, d)

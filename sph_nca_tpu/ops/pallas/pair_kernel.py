@@ -49,16 +49,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pair_d2(xb, xw):
-    """[P, D] x [W, D] -> squared distances [P, W].
+def _pair_d2(xbT, xwT):
+    """[D, P] x [D, W] coordinate-major -> squared distances [P, W].
 
     Direct per-axis differences (NOT the |a|^2+|b|^2-2ab matmul trick):
     the spiky magnitude 3(h-d)^2/d amplifies d2 error by ~(h/d)^2 near
-    d -> 0, so d2 must be computed cancellation-free.
+    d -> 0 (notably turning the exact-zero self-pair into a huge bogus
+    term), so d2 must be computed cancellation-free. Coordinate-major
+    layout keeps each axis slice a natural lane vector.
     """
-    d2 = jnp.zeros((xb.shape[0], xw.shape[0]), jnp.float32)
-    for d in range(xb.shape[1]):
-        r_d = xw[:, d][None, :] - xb[:, d][:, None]
+    d2 = jnp.zeros((xbT.shape[1], xwT.shape[1]), jnp.float32)
+    for d in range(xbT.shape[0]):
+        r_d = xwT[d][None, :] - xbT[d][:, None]
         d2 = d2 + r_d * r_d
     return d2
 
@@ -71,9 +73,9 @@ def _spiky_mag(d2, h):
 
 def _fwd_kernel(
     scal_ref,  # SMEM [4]: h, sig_w, sig_g, alive_thr
-    xb_ref,  # [P, D]   block rows (block-local frame)
+    xb_ref,  # [D, P]   block rows, coordinate-major (block-local frame)
     ab_ref,  # [P, F]   block states
-    xw_ref,  # [W, D]   union window positions (block frame)
+    xw_ref,  # [D, W]   union window positions, coordinate-major
     vw_ref,  # [1, W]   union window volumes
     sw_ref,  # [W, F]   union window states
     ga_ref,  # out [P, F*D] (d-major)
@@ -85,16 +87,20 @@ def _fwd_kernel(
     sig_w = scal_ref[1]
     sig_g = scal_ref[2]
     thr = scal_ref[3]
-    p, ddim = xb_ref.shape
+    ddim, p = xb_ref.shape
     f = ab_ref.shape[-1]
 
-    xb = xb_ref[:]
-    xw = xw_ref[:]
+    xb = xb_ref[:]  # [D, P]
+    xw = xw_ref[:]  # [D, W]
     vw = vw_ref[:]  # [1, W]
     aw = sw_ref[:]
     ab = ab_ref[:]
 
-    d2 = _pair_d2(xb, xw)
+    # pair displacements per axis, reused by d2 and the gradient loop
+    rs = [xw[d][None, :] - xb[d][:, None] for d in range(ddim)]  # [P, W]
+    d2 = rs[0] * rs[0]
+    for d in range(1, ddim):
+        d2 = d2 + rs[d] * rs[d]
     Tg = sig_g * _spiky_mag(d2, h) * vw
     Tw = sig_w * jnp.maximum(h * h - d2, 0.0) ** 3 * vw
 
@@ -110,8 +116,7 @@ def _fwd_kernel(
     #   grad_d = (Tg*r_d) @ Aw - Ab * rowsum(Tg*r_d)
     out = []
     for d in range(ddim):
-        r_d = xw[:, d][None, :] - xb[:, d][:, None]  # [P, W]
-        td = Tg * r_d
+        td = Tg * rs[d]
         g_d = jax.lax.dot_general(
             td, aw,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -135,8 +140,8 @@ def fused_perception_pallas(
     c = c1 - 1
     ddim = eng.xs.shape[-1]
     nb = eng.blk_win_cells.shape[0]
-    p = eng.blk_xs.shape[1]  # BG*M
-    w = eng.blk_xw.shape[1]  # Wu*M
+    p = eng.blk_xs.shape[2]  # BG*M
+    w = eng.blk_xw.shape[2]  # Wu*M
 
     Sw = eng.block_window(S)  # [nb, W, F] — the one XLA gather
     ab = S[:-1].reshape(nb, p, f)
@@ -148,9 +153,9 @@ def fused_perception_pallas(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, p, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, w, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
         ],
@@ -180,17 +185,17 @@ def fused_perception_pallas(
 
 def _bwd_kernel(
     scal_ref,  # SMEM [4]
-    xb_ref,  # [P, D]
+    xb_ref,  # [D, P] coordinate-major
     vs_ref,  # [1, P]
     gsum_ref,  # [P, D]
     gbar_ref,  # [P, F*D] own cotangent (d-major)
-    xw_ref,  # [W, D]
+    xw_ref,  # [D, W] coordinate-major
     gw_ref,  # [W, F*D] window cotangents (d-major)
     da_ref,  # out [P, F]
 ):
     h = scal_ref[0]
     sig_g = scal_ref[2]
-    p, ddim = xb_ref.shape
+    ddim, p = xb_ref.shape
     fd = gbar_ref.shape[-1]
     f = fd // ddim
 
@@ -198,12 +203,16 @@ def _bwd_kernel(
     xw = xw_ref[:]
     gw = gw_ref[:]
 
-    mag = _spiky_mag(_pair_d2(xb, xw), h)  # [P, W]
+    rs = [xb[d_i][:, None] - xw[d_i][None, :] for d_i in range(ddim)]
+    d2 = rs[0] * rs[0]
+    for d_i in range(1, ddim):
+        d2 = d2 + rs[d_i] * rs[d_i]
+    mag = _spiky_mag(d2, h)  # [P, W]
 
     # term1 = sigma_g v_j sum_d (mag * r_d) @ gbar_d  with r = x_j - x_i
     acc = jnp.zeros((p, f), jnp.float32)
     for d_i in range(ddim):
-        r_d = xb[:, d_i][:, None] - xw[:, d_i][None, :]  # [P, W]
+        r_d = rs[d_i]
         acc = acc + jax.lax.dot_general(
             mag * r_d, gw[:, d_i * f : (d_i + 1) * f],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -233,8 +242,8 @@ def gradient_adjoint_pallas(
     c1, m, f, ddim = gbar.shape
     c = c1 - 1
     nb = eng.blk_win_cells.shape[0]
-    p = eng.blk_xs.shape[1]
-    w = eng.blk_xw.shape[1]
+    p = eng.blk_xs.shape[2]
+    w = eng.blk_xw.shape[2]
 
     gflat = gbar.transpose(0, 1, 3, 2).reshape(c1, m, ddim * f)
     gw = eng.block_window(gflat)  # [nb, W, D*F]
@@ -246,11 +255,11 @@ def gradient_adjoint_pallas(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, w, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
         ],
         out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
@@ -303,8 +312,8 @@ perceive_cells.defvjp(_perceive_fwd, _perceive_bwd)
 
 def _mask_kernel(
     scal_ref,  # SMEM [4]
-    xb_ref,  # [P, D]
-    xw_ref,  # [W, D]
+    xb_ref,  # [D, P] coordinate-major
+    xw_ref,  # [D, W] coordinate-major
     vw_ref,  # [1, W]
     aw_ref,  # [1, W] alive indicator of window slots
     sm_ref,  # out [1, P]
@@ -325,8 +334,8 @@ def mask_blur_pallas(
     c = c1 - 1
     ddim = eng.xs.shape[-1]
     nb = eng.blk_win_cells.shape[0]
-    p = eng.blk_xs.shape[1]
-    w = eng.blk_xw.shape[1]
+    p = eng.blk_xs.shape[2]
+    w = eng.blk_xw.shape[2]
 
     if use_alpha:
         act = (S[..., 3] > 0.1).astype(jnp.float32)[..., None]  # [C+1, M, 1]
@@ -341,8 +350,8 @@ def mask_blur_pallas(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, w, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
         ],

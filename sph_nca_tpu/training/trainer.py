@@ -273,20 +273,45 @@ class Trainer:
     ):
         kroll, kloss = jax.random.split(key)
 
-        def loss_fn(params):
+        def run_rollout(params):
+            """Rollout on either engine; returns (final, collected) in
+            PARTICLE order [B, N, C] / [B, S, N, C]."""
+            from ..ops.cells import CellEngine
+
+            if isinstance(graph, CellEngine):
+                from ..models.cell_step import rollout_cells
+
+                S0 = jax.vmap(graph.scatter)(A0)
+                keys = jax.random.split(kroll, A0.shape[0])
+                out = jax.vmap(
+                    lambda S, k: rollout_cells(
+                        params, self.model_cfg, graph, S, k, max_steps,
+                        self.h, n_steps=n_steps,
+                        collect_steps=collect_steps,
+                    )
+                )(S0, keys)
+                final = jax.vmap(graph.gather_back)(out.final)
+                collected = jax.vmap(
+                    jax.vmap(graph.gather_back)
+                )(out.collected)
+                return final, collected
             out = rollout_batch(
                 params, self.model_cfg, graph, A0, kroll, max_steps,
                 self.h, n_steps=n_steps, collect_steps=collect_steps,
             )
-            total = self.loss.batch_total(self._loss_x, out.final, kloss)
+            return out.final, out.collected
+
+        def loss_fn(params):
+            final, collected = run_rollout(params)
+            total = self.loss.batch_total(self._loss_x, final, kloss)
             # 0.1x losses on aux_states random intermediate states
             # (reference nca.py:149-150)
             for s in range(self.cfg.aux_states):
                 total = total + self.cfg.aux_weight * self.loss.batch_total(
-                    self._loss_x, out.collected[:, s],
+                    self._loss_x, collected[:, s],
                     jax.random.fold_in(kloss, s),
                 )
-            return total, out.final
+            return total, final
 
         (loss, final), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)

@@ -64,8 +64,11 @@ def test_diffuse_spreads_tangents_and_stays_tangent():
     t0 = t0.at[0].set(orthogonalize(nrm[0], jnp.asarray([1.0, 0.0, 0.0])))
     A = jnp.ones((x.shape[0], 16))
     t = t0
+    # lerp_multiplier=0 -> pure spreading (the reference's consistent-
+    # tangent-field construction, test.py:187); with the default 1.0 and
+    # full activity, diffuse lerps straight back to the input tangents.
     for _ in range(10):
-        t = diffuse(nrm, t, A, g)
+        t = diffuse(nrm, t, A, g, lerp_multiplier=0.0)
     tn = np.asarray(t)
     # all tangents unit-ish and orthogonal to normals
     assert np.allclose(np.linalg.norm(tn, axis=-1), 1.0, atol=1e-3)
