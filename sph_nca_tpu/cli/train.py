@@ -266,6 +266,11 @@ def main(argv=None) -> int:
     run_id = time.strftime("%m%d%H%M")
     t_start = time.time()
     losses = []
+    from ..utils.profiling import MetricsLogger
+
+    metrics = MetricsLogger(
+        os.path.join(args.output_dir, f"metrics-{run_id}.jsonl")
+    )
     for i in range(args.training_iter + 1):
         loss = trainer.run_iteration(i, pool)
         losses.append(loss)
@@ -275,6 +280,7 @@ def main(argv=None) -> int:
                 f"iter {i:6d}  loss {loss:.6f}  ({rate:.2f} it/s)",
                 flush=True,
             )
+            metrics.log(i, loss=loss, it_per_sec=rate)
         if (i + 1) % args.checkpoint_every == 0:
             ck_path = os.path.join(
                 args.output_dir, f"sphnca-{run_id}-{i + 1:04d}"
@@ -301,6 +307,7 @@ def main(argv=None) -> int:
             )
             print(f"saved checkpoint {ck_path}")
 
+    metrics.close()
     print(f"Done! total {time.time() - t_start:.1f}s")
     return 0
 
