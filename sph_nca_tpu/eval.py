@@ -1,0 +1,200 @@
+"""Evaluation: PSNR/SSIM + the discretization-generalization study.
+
+The reference's only published quantitative results are PSNR/SSIM of
+rollouts across resampled particle densities (abstract.pdf p.2 Fig.3,
+BASELINE.md): a model trained once on a regular grid is rolled out on
+0.5x..4x-density resamplings and the rendered output is compared to the
+target. This module reproduces that study natively:
+
+  * psnr / ssim           — standard image metrics (SSIM per Wang et al.,
+                            gaussian-windowed, as in the original study)
+  * render_points         — splat a particle rollout to an image for
+                            comparison (nearest-grid binning average)
+  * density_sweep         — train-once/generate-anywhere: rollout one
+                            model over resampled grids and jittered point
+                            sets at several densities, report PSNR/SSIM
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    """Peak signal-to-noise ratio in dB."""
+    mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def _gaussian_kernel1d(sigma: float = 1.5, radius: int = 5) -> np.ndarray:
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _filter2d(img: np.ndarray, k1d: np.ndarray) -> np.ndarray:
+    """Separable 'valid' gaussian filter over the first two axes."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    r = len(k1d)
+    win = sliding_window_view(img, r, axis=0)
+    img = np.tensordot(win, k1d, axes=([-1], [0]))
+    win = sliding_window_view(img, r, axis=1)
+    return np.tensordot(win, k1d, axes=([-1], [0]))
+
+
+def ssim(
+    a: np.ndarray,
+    b: np.ndarray,
+    peak: float = 1.0,
+    sigma: float = 1.5,
+) -> float:
+    """Structural similarity (mean over channels/windows), Wang et al. 2004."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    k = _gaussian_kernel1d(sigma)
+    vals = []
+    for c in range(a.shape[-1]):
+        x, y = a[..., c], b[..., c]
+        mu_x = _filter2d(x, k)
+        mu_y = _filter2d(y, k)
+        xx = _filter2d(x * x, k) - mu_x**2
+        yy = _filter2d(y * y, k) - mu_y**2
+        xy = _filter2d(x * y, k) - mu_x * mu_y
+        s = ((2 * mu_x * mu_y + c1) * (2 * xy + c2)) / (
+            (mu_x**2 + mu_y**2 + c1) * (xx + yy + c2)
+        )
+        vals.append(s.mean())
+    return float(np.mean(vals))
+
+
+def render_points(
+    x: np.ndarray,
+    rgba: np.ndarray,
+    out_size: int,
+    gmin=(-1.0, -1.0),
+    gsize=(2.0, 2.0),
+) -> np.ndarray:
+    """Average-splat particles to an [out_size, out_size, C] image.
+
+    The evaluation renderer for irregular point sets (regular grids at
+    matching resolution reduce to an exact reshape).
+    """
+    x = np.asarray(x)
+    rgba = np.asarray(rgba)
+    gmin = np.asarray(gmin, np.float64)
+    gsize = np.asarray(gsize, np.float64)
+    ij = np.floor((x - gmin) / gsize * out_size).astype(np.int64)
+    ij = np.clip(ij, 0, out_size - 1)
+    flat = ij[:, 0] * out_size + ij[:, 1]
+    acc = np.zeros((out_size * out_size, rgba.shape[-1]), np.float64)
+    cnt = np.zeros(out_size * out_size, np.float64)
+    np.add.at(acc, flat, rgba)
+    np.add.at(cnt, flat, 1.0)
+    cnt = np.maximum(cnt, 1.0)
+    return (acc / cnt[:, None]).reshape(out_size, out_size, -1).astype(
+        np.float32
+    )
+
+
+def rollout_on_points(
+    params,
+    cfg,
+    x2: Array,
+    h: float,
+    steps: int,
+    key,
+    *,
+    use_3d: bool = True,
+    seed_radius: Optional[float] = None,
+    period=None,
+    randomized: bool = False,
+) -> np.ndarray:
+    """Build the engine for an arbitrary 2D point set and roll out.
+
+    Returns final rgba [N, 4]. This is the 'generate anywhere' entry:
+    any discretization, same trained weights.
+    """
+    from .models import to_rgba
+    from .models.cell_step import rollout_cells
+    from .ops.cells import build_cell_engine
+    from .utils.seeds import plane_seed
+
+    x = jnp.pad(x2, ((0, 0), (0, 1))) if use_3d else x2
+    eng = build_cell_engine(x, h, period=period)
+    key, ks = jax.random.split(key)
+    A0 = plane_seed(
+        x2, cfg.channels, gmin=(-1, -1), gsize=(2, 2),
+        radius=seed_radius if seed_radius else h,
+        randomized=randomized, key=ks,
+    )
+    out = rollout_cells(
+        params, cfg, eng, eng.scatter(A0), key, steps, h
+    )
+    final = eng.gather_back(out.final)
+    return np.asarray(to_rgba(final, cfg.use_alpha))
+
+
+def density_sweep(
+    params,
+    cfg,
+    h: float,
+    target_img: np.ndarray,  # [S, S, 4]
+    *,
+    base_size: int = 64,
+    densities: Sequence[float] = (0.5, 1.0, 2.0, 4.0),
+    steps: int = 96,
+    jitter: float = 0.0,
+    seed: int = 0,
+    eval_size: Optional[int] = None,
+) -> List[Dict[str, float]]:
+    """Train-once/generate-anywhere: PSNR/SSIM vs particle density.
+
+    Density d resamples the plane at (base_size * sqrt(d))^2 particles
+    (regular grid, optionally jittered); the rollout render is compared
+    to the target at ``eval_size`` (default base_size).
+    """
+    from .utils.geometry import grange
+
+    eval_size = eval_size or base_size
+    tgt = np.asarray(
+        jax.image.resize(
+            jnp.asarray(target_img), (eval_size, eval_size, 4), "bilinear"
+        )
+    )
+    rng = np.random.default_rng(seed)
+    results = []
+    for d in densities:
+        m = max(8, int(round(base_size * np.sqrt(d))))
+        x2 = grange(
+            (m, m), jnp.asarray([-1.0, -1.0]), jnp.asarray([2.0, 2.0])
+        ).reshape(-1, 2)
+        if jitter > 0:
+            x2 = x2 + jnp.asarray(
+                rng.uniform(-jitter, jitter, x2.shape).astype(np.float32)
+            ) * (2.0 / m)
+        rgba = rollout_on_points(
+            params, cfg, x2, h, steps, jax.random.key(seed)
+        )
+        img = render_points(np.asarray(x2), np.clip(rgba, 0, 1), eval_size)
+        results.append(
+            {
+                "density": float(d),
+                "n_particles": int(m * m),
+                "psnr": psnr(img, tgt),
+                "ssim": ssim(img, tgt),
+            }
+        )
+    return results
