@@ -27,7 +27,7 @@ Array = jnp.ndarray
 
 
 def cell_activity_s(S: Array, use_alpha: bool) -> Array:
-    """Activity per slot [C+1, M] (reference nca.py:17-21)."""
+    """Activity per slot [C, M] (reference nca.py:17-21)."""
     if use_alpha:
         return S[..., 3]
     return jnp.ones_like(S[..., 3])
@@ -47,8 +47,7 @@ def _mask_blur_cells(eng: CellEngine, Sw: Array, use_alpha: bool) -> Array:
         "cmw,cw->cm", eng.Tw, mw, precision=jax.lax.Precision.HIGHEST
     )
     sm = jax.lax.stop_gradient(sm)
-    mask = sm > ALIVE_THRESHOLD  # [C, M]
-    return jnp.concatenate([mask, jnp.zeros_like(mask[:1])], axis=0)
+    return sm > ALIVE_THRESHOLD  # [C, M]
 
 
 def nca_step_cells(
@@ -62,7 +61,7 @@ def nca_step_cells(
     perception_transform=None,
     use_pallas: bool = True,
 ) -> Array:
-    """One NCA step in cell layout: S [C+1, M, F] -> [C+1, M, F].
+    """One NCA step in cell layout: S [C, M, F] -> [C, M, F].
 
     ``use_pallas`` routes perception + life-mask through the fused Pallas
     pair kernel (ops/pallas/pair_kernel.py); the XLA einsum formulation

@@ -64,10 +64,10 @@ class CellEngine(NamedTuple):
     # layout maps
     slot_of_particle: Array  # [N] int32 -> flat slot id (cell*M + slot)
     # geometry (cell layout)
-    xs: Array  # [C+1, M, D] slot positions (pad: PAD_POS)
-    vs: Array  # [C+1, M]    slot volumes   (pad: 0)
+    xs: Array  # [C, M, D] slot positions (pad: PAD_POS)
+    vs: Array  # [C, M]    slot volumes   (pad: 0)
     # window structure
-    win_cells: Array  # [C, W] int32 cell ids (pad: C = dummy zero cell)
+    win_cells: Array  # [C, W] int32 cell ids (pad: 0, shifted to PAD_POS)
     xw: Array  # [C, W*M, D] window positions with periodic shifts baked in
     vw: Array  # [C, W*M]    window volumes
     # precomputed pair-weight matrices (static per geometry: particles do
@@ -78,7 +78,7 @@ class CellEngine(NamedTuple):
     Tg: Array  # [C, M, W*M] gradient scalar sigma_g spiky_mag v_w
     # gsum_i = sigma_g sum_k mag_ik r_ik v_k — the self-term of the SPH
     # gradient adjoint (used by the Pallas custom_vjp backward)
-    gsum: Array  # [C+1, M, D]
+    gsum: Array  # [C, M, D]
     # block structure for the Pallas kernels: BG=8 Morton-consecutive cells
     # share one union stencil window, giving [BG*M, Wu*M] pair tiles that
     # fill the MXU/VPU (single cells are too small a compute unit).
@@ -99,11 +99,11 @@ class CellEngine(NamedTuple):
         return self.blk_xs.shape[2] // self.xs.shape[1]
 
     def block_window(self, S: Array) -> Array:
-        """[C+1, M, F] -> [nb, Wu*M, F] union-window states (one gather)."""
+        """[C, M, F] -> [nb, Wu*M, F] union-window states (one gather)."""
         c, m = self.num_cells, self.slots_per_cell
         F = S.shape[-1]
         nb, wu = self.blk_win_cells.shape
-        return S.reshape(c + 1, m * F)[self.blk_win_cells].reshape(
+        return S.reshape(c, m * F)[self.blk_win_cells].reshape(
             nb, wu * m, F
         )
 
@@ -122,36 +122,37 @@ class CellEngine(NamedTuple):
     # -- layout conversion -------------------------------------------------
 
     def scatter(self, A: Array) -> Array:
-        """[N, F] particle-order values -> [C+1, M, F] cell layout
-        (padded slots and the dummy cell are zero)."""
+        """[N, F] particle-order values -> [C, M, F] cell layout
+        (padded slots are zero)."""
         c, m = self.num_cells, self.slots_per_cell
         F = A.shape[-1]
-        flat = jnp.zeros(((c + 1) * m, F), A.dtype)
+        flat = jnp.zeros((c * m, F), A.dtype)
         flat = flat.at[self.slot_of_particle].set(A)
-        return flat.reshape(c + 1, m, F)
+        return flat.reshape(c, m, F)
 
     def gather_back(self, S: Array) -> Array:
-        """[C+1, M, F] cell layout -> [N, F] particle order."""
+        """[C, M, F] cell layout -> [N, F] particle order."""
         c, m = self.num_cells, self.slots_per_cell
-        return S.reshape((c + 1) * m, S.shape[-1])[self.slot_of_particle]
+        return S.reshape(c * m, S.shape[-1])[self.slot_of_particle]
 
     # -- pair machinery ----------------------------------------------------
 
     def window(self, S: Array) -> Array:
-        """Window states: [C+1, M, F] -> [C, W*M, F].
+        """Window states: [C, M, F] -> [C, W*M, F].
 
         One cell-granularity gather (rows of M*F values) — the only gather
-        in the per-step hot path.
+        in the per-step hot path. Padded window entries read cell 0, whose
+        values never contribute (their positions sit at PAD_POS).
         """
         c, m = self.num_cells, self.slots_per_cell
         F = S.shape[-1]
-        return S.reshape(c + 1, m * F)[self.win_cells].reshape(
+        return S.reshape(c, m * F)[self.win_cells].reshape(
             c, self.win_cells.shape[1] * m, F
         )
 
     def pair_d2(self) -> Array:
         """Pairwise squared distances [C, M, W*M] (cell slots x window)."""
-        xb = self.xs[:-1]  # [C, M, D]
+        xb = self.xs  # [C, M, D]
         d2 = (
             jnp.sum(xb * xb, -1)[:, :, None]
             + jnp.sum(self.xw * self.xw, -1)[:, None, :]
@@ -172,11 +173,10 @@ class CellEngine(NamedTuple):
         caller reuse an existing window gather of S.
         """
         Aw = self.window(S) if Sw is None else Sw
-        out = jnp.einsum(
+        return jnp.einsum(
             "cmw,cwf->cmf", self.Tw, Aw,
             precision=jax.lax.Precision.HIGHEST,
         )
-        return jnp.concatenate([out, jnp.zeros_like(out[:1])], axis=0)
 
     def gradient(self, S: Array, *, Sw: Optional[Array] = None) -> Array:
         """SPH gradient in cell layout: [C+1, M, F] -> [C+1, M, F, D].
@@ -189,8 +189,8 @@ class CellEngine(NamedTuple):
         F = S.shape[-1]
         D = self.xs.shape[-1]
         Aw = self.window(S) if Sw is None else Sw  # [C, WM, F]
-        xb = self.xs[:-1]  # [C, M, D]
-        Ab = S[:-1]  # [C, M, F]
+        xb = self.xs  # [C, M, D]
+        Ab = S  # [C, M, F]
 
         # rhs = [Aw (F), Aw*xw_d (F*D), xw (D), 1] -> [C, WM, F + F*D + D + 1]
         parts = [Aw]
@@ -215,12 +215,12 @@ class CellEngine(NamedTuple):
             - Ab[..., None] * tx[:, :, None, :]
             + (xb[:, :, None, :] * Ab[..., None]) * t1[..., None]
         )
-        return jnp.concatenate([grad, jnp.zeros_like(grad[:1])], axis=0)
+        return grad
 
     def volume_consistency(self) -> Array:
         """sigma_W * sum_w W * v_w per slot — should be ~1 for real slots
         (Shepard partition of unity); used by tests."""
-        ones = jnp.ones((self.num_cells + 1, self.slots_per_cell, 1))
+        ones = jnp.ones((self.num_cells, self.slots_per_cell, 1))
         return self.blur(ones)[..., 0]
 
 
@@ -249,6 +249,7 @@ def build_cell_engine(
     period=None,
     smoothing: str = K.DEFAULT_SMOOTHING,
     gradient_kernel: str = K.DEFAULT_GRADIENT,
+    cell_pad_multiple: int = 16,
 ) -> CellEngine:
     """Build the engine for concrete positions (host-side, one-time).
 
@@ -367,25 +368,31 @@ def build_cell_engine(
         shift_lists.append(shifts)
 
     # pad the cell count to a multiple of 16 so kernel grids can block
-    # cells regularly (padding cells have empty windows and PAD_POS slots)
-    C_pad = int(math.ceil(C / 16)) * 16
+    # cells regularly and every array shards evenly over a device mesh
+    # (padding cells have empty windows and PAD_POS slots; there is NO
+    # dummy row — padded window entries point at cell 0 but carry a
+    # PAD_POS shift, which zeroes their pair weights)
+    pad_mult = max(16, int(math.ceil(cell_pad_multiple / 16)) * 16)
+    C_pad = int(math.ceil(C / pad_mult)) * pad_mult
     if C_pad != C:
         xs = np.concatenate(
-            [xs[:C], np.full((C_pad - C + 1, M, d), PAD_POS, np.float32)]
+            [xs[:C], np.full((C_pad - C, M, d), PAD_POS, np.float32),
+             xs[C:]]  # keep a trailing scratch row for xs[win] below
         )
 
     Wc = max(len(c) for c in win_lists)
     if max_window_cells is not None:
         Wc = max(Wc, int(max_window_cells))
-    win_cells = np.full((C_pad, Wc), C_pad, np.int32)  # pad -> dummy cell
-    win_shift = np.zeros((C_pad, Wc, d), np.float32)
+    win_cells = np.zeros((C_pad, Wc), np.int32)  # pad -> cell 0 ...
+    win_shift = np.full((C_pad, Wc, d), PAD_POS, np.float32)  # ... pushed out
     for c_idx, (cells, shifts) in enumerate(zip(win_lists, shift_lists)):
         win_cells[c_idx, : len(cells)] = cells
         if len(cells):
             win_shift[c_idx, : len(cells)] = np.stack(shifts)
     C = C_pad
 
-    # window positions with wrap shifts baked in (dummy stays ~PAD_POS)
+    # window positions with wrap shifts baked in (pad entries land near
+    # 2*PAD_POS, far outside every support radius)
     xw = xs[win_cells] + win_shift[:, :, None, :]  # [C, Wc, M, D]
     xw = xw.reshape(C, Wc * M, d)
 
@@ -409,8 +416,8 @@ def build_cell_engine(
         blk_unions.append(list(seen.values()))
 
     Wu = max(1, max(len(u) for u in blk_unions))
-    blk_win_cells = np.full((nb, Wu), C, np.int32)
-    blk_shift = np.zeros((nb, Wu, d), np.float32)
+    blk_win_cells = np.zeros((nb, Wu), np.int32)  # pad -> cell 0 ...
+    blk_shift = np.full((nb, Wu, d), PAD_POS, np.float32)  # ... pushed out
     for b, entries in enumerate(blk_unions):
         for s_i, (j, total) in enumerate(entries):
             blk_win_cells[b, s_i] = j
@@ -430,14 +437,14 @@ def build_cell_engine(
     zero_t = jnp.zeros((C, M, Wc * M))
     eng = CellEngine(
         slot_of_particle=jnp.asarray(slot_of_particle, jnp.int32),
-        xs=jnp.asarray(xs),
-        vs=jnp.zeros((C + 1, M)),  # placeholder until volumes computed
+        xs=jnp.asarray(xs[:C]),
+        vs=jnp.zeros((C, M)),  # placeholder until volumes computed
         win_cells=jnp.asarray(win_cells),
         xw=jnp.asarray(xw),
         vw=jnp.zeros((C, Wc * M)),
         Tw=zero_t,
         Tg=zero_t,
-        gsum=jnp.zeros((C + 1, M, d)),
+        gsum=jnp.zeros((C, M, d)),
         blk_xs=jnp.asarray(blk_xs),
         blk_win_cells=jnp.asarray(blk_win_cells),
         blk_xw=jnp.asarray(blk_xw),
@@ -467,11 +474,13 @@ def _finalize(
     w = kern.w(d2, eng.h)  # [C, M, WM]
     inv_v = eng.sig_w * jnp.sum(w, axis=-1)
     # pad slots see only other coincident pad slots (d2 == 0); their
-    # volume is irrelevant but must stay finite
+    # volume is irrelevant but must stay finite. Zero it so validity is
+    # recoverable as v > 0.
+    pad_slot = (eng.xs >= PAD_POS / 2).any(-1)
     v = jnp.where(inv_v > 0.0, 1.0 / jnp.maximum(inv_v, 1e-30), 0.0)
-    vs = jnp.concatenate([v, jnp.zeros_like(v[:1])], axis=0)  # [C+1, M]
+    vs = jnp.where(pad_slot, 0.0, v)  # [C, M]
     c, m = eng.num_cells, eng.slots_per_cell
-    vw = vs.reshape(c + 1, m)[eng.win_cells].reshape(c, -1)
+    vw = vs.reshape(c, m)[eng.win_cells].reshape(c, -1)
 
     Tw = eng.sig_w * w * vw[:, None, :]
 
@@ -485,11 +494,10 @@ def _finalize(
         "cmw,cwd->cmd", Tg, eng.xw, precision=jax.lax.Precision.HIGHEST
     )
     s_t = jnp.sum(Tg, axis=-1)
-    gsum = s_xw - eng.xs[:-1] * s_t[..., None]
-    gsum = jnp.concatenate([gsum, jnp.zeros_like(gsum[:1])], axis=0)
+    gsum = s_xw - eng.xs * s_t[..., None]
 
     nb = eng.blk_win_cells.shape[0]
-    blk_vw = vs.reshape(c + 1, m)[eng.blk_win_cells].reshape(nb, -1)
+    blk_vw = vs.reshape(c, m)[eng.blk_win_cells].reshape(nb, -1)
     return eng._replace(
         vs=vs, vw=vw, Tw=Tw, Tg=Tg, gsum=gsum, blk_vw=blk_vw
     )

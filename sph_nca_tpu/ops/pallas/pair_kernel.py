@@ -132,19 +132,18 @@ def fused_perception_pallas(
 ) -> Tuple[Array, Array]:
     """Fused SPH gradient + life-mask smoothing.
 
-    S [C+1, M, F] -> (gA [C+1, M, F, D], sm [C+1, M]).
+    S [C, M, F] -> (gA [C, M, F, D], sm [C, M]).
     ``sm`` is the smoothed alive indicator (pre-threshold); the model
     treats it as stop-gradient (nca.py:76).
     """
-    c1, m, f = S.shape
-    c = c1 - 1
+    c, m, f = S.shape
     ddim = eng.xs.shape[-1]
     nb = eng.blk_win_cells.shape[0]
     p = eng.blk_xs.shape[2]  # BG*M
     w = eng.blk_xw.shape[2]  # Wu*M
 
     Sw = eng.block_window(S)  # [nb, W, F] — the one XLA gather
-    ab = S[:-1].reshape(nb, p, f)
+    ab = S.reshape(nb, p, f)
 
     scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
 
@@ -170,11 +169,9 @@ def fused_perception_pallas(
         interpret=_interpret(),
     )(scal, eng.blk_xs, ab, eng.blk_xw, eng.blk_vw[:, None, :], Sw)
 
-    # [nb, p, D*F] -> [C, M, F, D]; append dummy cell row
+    # [nb, p, D*F] -> [C, M, F, D]
     ga = ga.reshape(c, m, ddim, f).transpose(0, 1, 3, 2)
-    ga = jnp.concatenate([ga, jnp.zeros_like(ga[:1])], axis=0)
     sm = sm.reshape(c, m)
-    sm = jnp.concatenate([sm, jnp.zeros_like(sm[:1])], axis=0)
     return ga, sm
 
 
@@ -232,20 +229,19 @@ def _bwd_kernel(
 def gradient_adjoint_pallas(
     eng: CellEngine, gsum: Array, gbar: Array
 ) -> Array:
-    """dL/dS of the SPH gradient: gbar [C+1, M, F, D] -> [C+1, M, F].
+    """dL/dS of the SPH gradient: gbar [C, M, F, D] -> [C, M, F].
 
     IMPORTANT frame note: term1 mixes window positions with the query row
     positions, so the window copies must carry the same wrap shifts as the
     forward — which eng.blk_xw provides. The cotangents themselves are
     frame-independent.
     """
-    c1, m, f, ddim = gbar.shape
-    c = c1 - 1
+    c, m, f, ddim = gbar.shape
     nb = eng.blk_win_cells.shape[0]
     p = eng.blk_xs.shape[2]
     w = eng.blk_xw.shape[2]
 
-    gflat = gbar.transpose(0, 1, 3, 2).reshape(c1, m, ddim * f)
+    gflat = gbar.transpose(0, 1, 3, 2).reshape(c, m, ddim * f)
     gw = eng.block_window(gflat)  # [nb, W, D*F]
 
     scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
@@ -268,14 +264,13 @@ def gradient_adjoint_pallas(
     )(
         scal,
         eng.blk_xs,
-        eng.vs[:-1].reshape(nb, 1, p),
-        gsum[:-1].reshape(nb, p, ddim),
-        gflat[:-1].reshape(nb, p, ddim * f),
+        eng.vs.reshape(nb, 1, p),
+        gsum.reshape(nb, p, ddim),
+        gflat.reshape(nb, p, ddim * f),
         eng.blk_xw,
         gw,
     )
-    da = da.reshape(c, m, f)
-    return jnp.concatenate([da, jnp.zeros_like(da[:1])], axis=0)
+    return da.reshape(c, m, f)
 
 
 # ---------------------------------------------------------------------------
@@ -329,16 +324,15 @@ def _mask_kernel(
 def mask_blur_pallas(
     eng: CellEngine, S: Array, *, use_alpha: bool = True
 ) -> Array:
-    """Life-mask smoothing only: S [C+1, M, F] -> sm [C+1, M]."""
-    c1, m, f = S.shape
-    c = c1 - 1
+    """Life-mask smoothing only: S [C, M, F] -> sm [C, M]."""
+    c, m, f = S.shape
     ddim = eng.xs.shape[-1]
     nb = eng.blk_win_cells.shape[0]
     p = eng.blk_xs.shape[2]
     w = eng.blk_xw.shape[2]
 
     if use_alpha:
-        act = (S[..., 3] > 0.1).astype(jnp.float32)[..., None]  # [C+1, M, 1]
+        act = (S[..., 3] > 0.1).astype(jnp.float32)[..., None]  # [C, M, 1]
         aw = eng.block_window(act)[..., 0]  # [nb, W]
     else:
         aw = (eng.blk_vw > 0.0).astype(jnp.float32)
@@ -359,5 +353,4 @@ def mask_blur_pallas(
         out_shape=[jax.ShapeDtypeStruct((nb, 1, p), jnp.float32)],
         interpret=_interpret(),
     )(scal, eng.blk_xs, eng.blk_xw, eng.blk_vw[:, None, :], aw[:, None, :])
-    sm = sm.reshape(c, m)
-    return jnp.concatenate([sm, jnp.zeros_like(sm[:1])], axis=0)
+    return sm.reshape(c, m)

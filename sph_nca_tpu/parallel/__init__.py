@@ -10,6 +10,7 @@ from .mesh import (
     replicate,
     replicated_spec,
     shard_batch,
+    shard_cell_engine,
     shard_graph,
 )
 from .shard import ShardedTrainStep, dryrun_train_step, make_sharded_train_step
@@ -27,5 +28,6 @@ __all__ = [
     "replicate",
     "replicated_spec",
     "shard_batch",
+    "shard_cell_engine",
     "shard_graph",
 ]

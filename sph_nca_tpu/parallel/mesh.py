@@ -93,3 +93,22 @@ def shard_batch(A, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     s = NamedSharding(mesh, replicated_spec())
     return jax.tree.map(lambda a: jax.device_put(a, s), tree)
+
+
+def shard_cell_engine(eng, mesh: Mesh, batch_scatter=None):
+    """Place a CellEngine with cells/blocks sharded over the particle axis.
+
+    Build the engine with ``cell_pad_multiple=16 * mesh.shape['particle']``
+    so both the cell dim (C) and the block dim (nb) divide the axis. Every
+    per-cell / per-block array shards on dim 0; cross-shard window reads
+    lower to XLA gathers + collectives over ICI.
+    """
+    s = NamedSharding(mesh, P(PARTICLE_AXIS))
+    sharded = {
+        n: jax.device_put(getattr(eng, n), s)
+        for n in (
+            "xs", "vs", "win_cells", "xw", "vw", "Tw", "Tg", "gsum",
+            "blk_xs", "blk_win_cells", "blk_xw", "blk_vw",
+        )
+    }
+    return eng._replace(**sharded)

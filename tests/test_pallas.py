@@ -36,14 +36,20 @@ def test_fused_forward_matches_xla_engine(rng, dim, periodic):
 
     ga_p, sm_p = fused_perception_pallas(eng, S, use_alpha=True)
     ga_x = eng.gradient(S)
-    assert np.allclose(
-        np.asarray(ga_p), np.asarray(ga_x), rtol=1e-3, atol=2e-3
-    )
-    # mask smoothing vs engine blur of binarized activity
+
+    # compare in particle order — pad slots compute garbage in either
+    # path (their PAD_POS phantom geometry) and are never read back
+    def back(ga):
+        flat = eng.gather_back(ga.reshape(*ga.shape[:2], -1))
+        return np.asarray(flat)
+
+    assert np.allclose(back(ga_p), back(ga_x), rtol=1e-3, atol=2e-3)
+    # mask smoothing vs engine blur of binarized activity (real slots)
     mw = (eng.window(S)[..., 3] > 0.1).astype(jnp.float32)
     sm_x = jnp.einsum("cmw,cw->cm", eng.Tw, mw)
+    real = np.asarray(eng.vs > 0)
     assert np.allclose(
-        np.asarray(sm_p[:-1]), np.asarray(sm_x), rtol=1e-4, atol=1e-5
+        np.asarray(sm_p)[real], np.asarray(sm_x)[real], rtol=1e-4, atol=1e-5
     )
 
 

@@ -79,3 +79,42 @@ def test_sharded_rollout_matches_unsharded():
             lambda p, g, a: rollout_batch(p, cfg, g, a, key, 4, h).final
         )(params, graph_s, A0_s)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@needs_8
+def test_sharded_cell_engine_rollout_matches():
+    """Cell-dense engine sharded over the particle axis (GSPMD) must be
+    semantics-preserving."""
+    import jax.numpy as jnp
+
+    from sph_nca_tpu.models import SPHNCAConfig, init_params
+    from sph_nca_tpu.models.cell_step import rollout_cells
+    from sph_nca_tpu.ops.cells import build_cell_engine
+    from sph_nca_tpu.parallel import shard_cell_engine
+    from sph_nca_tpu.utils.geometry import grange
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    m, h = 24, 0.2
+    x = grange((m, m), jnp.asarray([-1.0, -1.0]), jnp.asarray([2.0, 2.0]))
+    x = x.reshape(-1, 2)
+    mesh = make_mesh(data=1)
+    npart = mesh.shape["particle"]
+    eng = build_cell_engine(x, h, cell_pad_multiple=16 * npart)
+    ref_eng = build_cell_engine(x, h)
+    cfg = SPHNCAConfig(channels=8, hidden=16)
+    params = jax.jit(lambda k: __import__("sph_nca_tpu").models.init_params(k, cfg))(jax.random.key(0))
+    A = jax.random.uniform(jax.random.key(1), (x.shape[0], 8))
+    ref = ref_eng.gather_back(
+        rollout_cells(params, cfg, ref_eng, ref_eng.scatter(A),
+                      jax.random.key(2), 3, h, use_pallas=False).final
+    )
+    eng_s = shard_cell_engine(eng, mesh)
+    S0 = jax.device_put(eng.scatter(A), NamedSharding(mesh, P("particle")))
+    with mesh:
+        out = jax.jit(
+            lambda p, e, S: rollout_cells(
+                p, cfg, e, S, jax.random.key(2), 3, h, use_pallas=False
+            ).final
+        )(params, eng_s, S0)
+    got = eng.gather_back(out)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
