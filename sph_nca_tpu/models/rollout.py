@@ -149,3 +149,51 @@ def rollout_batch(
     keys = jax.random.split(key, A0.shape[0])
     fn = partial(rollout, params, cfg, graph, max_steps=max_steps, h=h, **kwargs)
     return jax.vmap(lambda a, k: fn(a, k))(A0, keys)
+
+
+def rollout_rebuild(
+    params: MLPParams,
+    cfg: SPHNCAConfig,
+    x0: Array,
+    A0: Array,
+    key: Array,
+    n_steps: int,
+    h,
+    dims,
+    *,
+    max_per_cell: int,
+    k: int,
+    advect=None,
+    period=None,
+    fire_rate: Optional[float] = None,
+):
+    """Rollout with the neighbor structure REBUILT inside the scan.
+
+    For configs where particles move between steps (``advect(x, A, t) ->
+    new x``; e.g. state-driven flows), the static-geometry assumption
+    breaks and the hash grid must be rebuilt per step — the BASELINE
+    damage/moving-particle configuration. The whole build (hash -> sort ->
+    cell table -> top-k compaction, ops/hashgrid.py) is jit-compatible
+    with static shapes, so it lives inside the same compiled scan.
+
+    Returns (x_final, A_final, states [n_steps+1, N, C]).
+    """
+    from ..ops.hashgrid import build_neighbor_list, graph_from_neighbor_list
+    from .nca import nca_step
+
+    def body(carry, t):
+        x, A = carry
+        if advect is not None:
+            x = advect(x, A, t)
+        nl = build_neighbor_list(
+            x, h, dims, max_per_cell=max_per_cell, k=k, period=period
+        )
+        graph = graph_from_neighbor_list(x, h, nl, period=period)
+        nA = nca_step(
+            params, cfg, graph, A, jax.random.fold_in(key, t), h,
+            fire_rate=fire_rate,
+        )
+        return (x, nA), nA
+
+    (xf, Af), states = jax.lax.scan(body, (x0, A0), jnp.arange(n_steps))
+    return xf, Af, jnp.concatenate([A0[None], states], axis=0)

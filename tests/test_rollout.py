@@ -109,3 +109,53 @@ def test_rollout_under_jit_and_grad():
     flat = jax.tree.leaves(jax.tree.map(lambda a: np.asarray(a), g1))
     assert all(np.all(np.isfinite(f)) for f in flat)
     assert any(np.abs(f).max() > 0 for f in flat)
+
+
+def test_rollout_rebuild_matches_static_when_particles_fixed():
+    """Per-step rebuild (BASELINE's damage/moving config) must equal the
+    static-graph rollout when particles do not move."""
+    from sph_nca_tpu.models.rollout import rollout_rebuild
+
+    x, g, h = scene(12, 0.25)
+    cfg = SPHNCAConfig(channels=8, hidden=16)
+    p = init_params(jax.random.key(0), cfg)
+    A0 = init_state(x, cfg, jax.random.key(1))
+    key = jax.random.key(2)
+
+    want = rollout_states(p, cfg, g, A0, key, 3, h)
+    import numpy as _np
+
+    from sph_nca_tpu import ops
+
+    mpc, k = ops.suggest_capacity(_np.asarray(x), h, ops.default_dims(h))
+    _, Af, states = rollout_rebuild(
+        p, cfg, x, A0, key, 3, h, ops.default_dims(h),
+        max_per_cell=mpc, k=k,
+    )
+    assert np.allclose(np.asarray(states), np.asarray(want), atol=1e-5)
+
+
+def test_rollout_rebuild_with_advection_runs():
+    """Moving particles: rebuild keeps the neighborhood consistent."""
+    from sph_nca_tpu.models.rollout import rollout_rebuild
+
+    x, g, h = scene(12, 0.25)
+    cfg = SPHNCAConfig(channels=8, hidden=16)
+    p = init_params(jax.random.key(0), cfg)
+    A0 = init_state(x, cfg, jax.random.key(1))
+
+    def advect(x, A, t):
+        # small state-independent drift
+        return x + 0.01 * jnp.sin(3.0 * x[..., ::-1])
+
+    import numpy as _np
+
+    from sph_nca_tpu import ops
+
+    mpc, k = ops.suggest_capacity(_np.asarray(x), h, ops.default_dims(h))
+    xf, Af, states = rollout_rebuild(
+        p, cfg, x, A0, jax.random.key(2), 3, h, ops.default_dims(h),
+        max_per_cell=mpc + 8, k=k + 8, advect=advect,
+    )
+    assert np.all(np.isfinite(np.asarray(Af)))
+    assert not np.allclose(np.asarray(xf), np.asarray(x))
