@@ -1,0 +1,79 @@
+"""Demo server HTTP-level test (threaded server, real requests)."""
+
+import json
+import struct
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from sph_nca_tpu.demo.server import DemoState, make_handler
+from sph_nca_tpu.io import save_weights_json
+from sph_nca_tpu.models import SPHNCAConfig, init_params
+
+
+@pytest.fixture
+def server(tmp_path):
+    from http.server import ThreadingHTTPServer
+
+    cfg = SPHNCAConfig(channels=8, hidden=16, normalize_perception=4.0)
+    params = init_params(jax.random.key(0), cfg)
+    wpath = str(tmp_path / "w.json")
+    save_weights_json(wpath, params, cfg, h=0.25, mode="image")
+
+    class Args:
+        weights_json = wpath
+        size = 12
+        jitter = 0.0
+
+    state = DemoState(Args())
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", state
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.read()
+
+
+def test_frame_endpoint_steps_and_returns_pixels(server):
+    base, state = server
+    body = _get(base + "/frame")
+    mlen = struct.unpack("<I", body[:4])[0]
+    meta = json.loads(body[4 : 4 + mlen])
+    assert meta["size"] == 12
+    assert meta["step"] == 1
+    px = np.frombuffer(body[4 + mlen :], np.uint8)
+    assert px.shape == (12 * 12 * 4,)
+    # second frame advances
+    body = _get(base + "/frame")
+    meta2 = json.loads(body[4 : 4 + struct.unpack("<I", body[:4])[0]])
+    assert meta2["step"] == 2
+
+
+def test_index_served(server):
+    base, _ = server
+    html = _get(base + "/").decode()
+    assert "<canvas" in html
+
+
+def test_brush_and_reset(server):
+    base, state = server
+    _get(base + "/frame")
+    req = urllib.request.Request(
+        base + "/brush",
+        data=json.dumps({"x": 0.0, "y": 0.0, "kind": "damage",
+                         "radius": 5.0}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10):
+        pass
+    assert np.allclose(state.A, 0.0)  # radius 5 wipes the whole domain
+    _get(base + "/reset")
+    assert state.step_count == 0
+    assert not np.allclose(state.A, 0.0)
