@@ -250,11 +250,6 @@ class Trainer:
         self._step_fn = jax.jit(
             self._train_step, static_argnames=("max_steps",)
         )
-        self._rank_fn = jax.jit(
-            lambda A_batch, key: jax.vmap(
-                lambda A, k: self.loss.per_sample(self._loss_x, A, k)
-            )(A_batch, jax.random.split(key, A_batch.shape[0]))
-        )
 
     # -- jitted core -------------------------------------------------------
 
@@ -266,12 +261,23 @@ class Trainer:
         # embedded as program constants (bloats the executable; defeats
         # donation/sharding)
         A0: Array,  # [B, N, C]
+        seed_A: Array,  # [N, C] fresh seed for replace-worst
         key: Array,
         n_steps: Array,  # traced scalar
         collect_steps: Array,  # [aux_states] traced
         max_steps: int,  # static bucket
     ):
-        kroll, kloss = jax.random.split(key)
+        krank, kroll, kloss = jax.random.split(key, 3)
+
+        # replace-worst ranking fused into the step (reference
+        # Pool.sample(replace_worst=True), nca.py:436-443): rank by
+        # per-sample loss desc, swap the worst for a fresh seed
+        rank_keys = jax.random.split(krank, A0.shape[0])
+        rank_losses = jax.vmap(
+            lambda A, k: self.loss.per_sample(self._loss_x, A, k)
+        )(A0, rank_keys)
+        order = jnp.argsort(-rank_losses)
+        A0 = A0[order].at[0].set(seed_A)
 
         def run_rollout(params):
             """Rollout on either engine; returns (final, collected) in
@@ -316,7 +322,7 @@ class Trainer:
         (loss, final), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, final
+        return params, opt_state, loss, final, order
 
     # -- host loop ---------------------------------------------------------
 
@@ -327,10 +333,7 @@ class Trainer:
             degrade_prob=self.cfg.degrade_prob,
             erase_radius=self.cfg.erase_radius,
         )
-        # replace-worst ranking (reference Pool.sample(replace_worst=True))
-        self.key, krank = jax.random.split(self.key)
-        losses = np.asarray(self._rank_fn(jnp.asarray(A0), krank))
-        idx, A0 = pool.replace_worst(idx, A0, losses)
+        seed_A = pool.initial_feature()
 
         n = progressive_steps(
             i, self.cfg.steps_range, self.cfg.steps_increment, self.np_rng
@@ -339,17 +342,18 @@ class Trainer:
         collect = self.np_rng.integers(0, n + 1, size=self.cfg.aux_states)
 
         self.key, kstep = jax.random.split(self.key)
-        self.params, self.opt_state, loss, final = self._step_fn(
+        self.params, self.opt_state, loss, final, order = self._step_fn(
             self.params,
             self.opt_state,
             self.graph,
             jnp.asarray(A0),
+            jnp.asarray(seed_A),
             kstep,
             jnp.int32(n),
             jnp.asarray(collect, jnp.int32),
             max_steps=max_steps,
         )
-        pool.update(idx, np.asarray(final))
+        pool.update(idx[np.asarray(order)], np.asarray(final))
         return float(loss)
 
     def train(
