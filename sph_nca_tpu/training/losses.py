@@ -237,3 +237,29 @@ def clip_loss(
     if cfg.overflow_weight > 0:
         loss = loss + cfg.overflow_weight * clip_overflow_penalty(A)
     return loss
+
+
+def gram_matrix(feats: Array) -> Array:
+    """Gram matrix of a feature set [n, c] -> [c, c] / (c * n).
+
+    Reference nca.py:531-542 (normalization by b*c*d with b=1).
+    """
+    n, c = feats.shape
+    g = jnp.matmul(
+        feats.T, feats, precision=jax.lax.Precision.HIGHEST
+    )
+    return g / (c * n)
+
+
+def gram_style_loss(
+    feats_x: Sequence[Array], feats_y: Sequence[Array]
+) -> Array:
+    """Classic Gatys-style Gram-matrix loss, summed over layers.
+
+    The reference's plain StyleLoss module (nca.py:544-552) — the
+    alternative ``loss_module`` to OptimalTransportLoss in get_style_loss.
+    """
+    total = 0.0
+    for fx, fy in zip(feats_x, feats_y):
+        total = total + jnp.mean((gram_matrix(fx) - gram_matrix(fy)) ** 2)
+    return total

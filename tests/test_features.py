@@ -121,3 +121,16 @@ def test_scale_pyramid():
     assert views[0].shape == (32, 32, 3)
     assert views[1].shape == (16, 16, 3)
     assert views[2].shape == (16, 16, 3)
+
+
+def test_gram_style_loss():
+    from sph_nca_tpu.training.losses import gram_matrix, gram_style_loss
+
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    g = np.asarray(gram_matrix(f))
+    want = (np.asarray(f).T @ np.asarray(f)) / (16 * 64)
+    assert np.allclose(g, want, atol=1e-5)
+    assert float(gram_style_loss([f], [f])) < 1e-10
+    f2 = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32) * 2)
+    assert float(gram_style_loss([f], [f2])) > 1e-4
