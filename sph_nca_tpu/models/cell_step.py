@@ -71,21 +71,32 @@ def nca_step_cells(
         fire_rate = cfg.fire_rate
     c = cfg.channels
 
-    if use_pallas:
-        from ..ops.pallas.pair_kernel import mask_blur_pallas, perceive_cells
+    f = S.shape[-1]
+    if use_pallas and perception_transform is None:
+        # d-major fast path: the kernel's native [C, M, D*F] layout IS the
+        # feature concat order (gA_x block then gA_y block) — no transpose
+        from ..ops.pallas.pair_kernel import perceive_cells_dmajor
 
-        gA, pre_sm = perceive_cells(eng, S, cfg.use_alpha)
+        gA_dm, pre_sm = perceive_cells_dmajor(eng, S, cfg.use_alpha)
         prev_mask = pre_sm > ALIVE_THRESHOLD
+        if cfg.normalize_perception > 0:
+            gA_dm = h * gA_dm * cfg.normalize_perception
+        y = jnp.concatenate([S, gA_dm[..., : 2 * f]], axis=-1)
     else:
-        Sw = eng.window(S)  # [C, WM, F] — the phase's one gather
-        prev_mask = _mask_blur_cells(eng, Sw, cfg.use_alpha)
-        gA = eng.gradient(S, Sw=Sw)  # [C+1, M, F, D]
+        if use_pallas:
+            from ..ops.pallas.pair_kernel import perceive_cells
 
-    if cfg.normalize_perception > 0:
-        gA = h * gA * cfg.normalize_perception
-    if perception_transform is not None:
-        gA = perception_transform(gA)
-    y = jnp.concatenate([S, gA[..., 0], gA[..., 1]], axis=-1)
+            gA, pre_sm = perceive_cells(eng, S, cfg.use_alpha)
+            prev_mask = pre_sm > ALIVE_THRESHOLD
+        else:
+            Sw = eng.window(S)  # [C, WM, F] — the phase's one gather
+            prev_mask = _mask_blur_cells(eng, Sw, cfg.use_alpha)
+            gA = eng.gradient(S, Sw=Sw)  # [C, M, F, D]
+        if cfg.normalize_perception > 0:
+            gA = h * gA * cfg.normalize_perception
+        if perception_transform is not None:
+            gA = perception_transform(gA)
+        y = jnp.concatenate([S, gA[..., 0], gA[..., 1]], axis=-1)
     dA = apply_mlp(params, y)
 
     if cfg.update_rule == "gated":

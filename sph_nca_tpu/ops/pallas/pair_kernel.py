@@ -126,13 +126,17 @@ def _fwd_kernel(
     ga_ref[:] = jnp.concatenate(out, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("use_alpha",))
+@functools.partial(jax.jit, static_argnames=("use_alpha", "d_major"))
 def fused_perception_pallas(
-    eng: CellEngine, S: Array, *, use_alpha: bool = True
+    eng: CellEngine, S: Array, *, use_alpha: bool = True,
+    d_major: bool = False,
 ) -> Tuple[Array, Array]:
     """Fused SPH gradient + life-mask smoothing.
 
-    S [C, M, F] -> (gA [C, M, F, D], sm [C, M]).
+    S [C, M, F] -> (gA [C, M, F, D], sm [C, M]); with ``d_major`` the
+    gradient stays in the kernel's native [C, M, D*F] layout (axis-major
+    blocks), which is exactly what the NCA feature concat consumes —
+    skipping a 2x40MB transpose round trip per step at N=1e5.
     ``sm`` is the smoothed alive indicator (pre-threshold); the model
     treats it as stop-gradient (nca.py:76).
     """
@@ -169,9 +173,11 @@ def fused_perception_pallas(
         interpret=_interpret(),
     )(scal, eng.blk_xs, ab, eng.blk_xw, eng.blk_vw[:, None, :], Sw)
 
+    sm = sm.reshape(c, m)
+    if d_major:
+        return ga.reshape(c, m, ddim * f), sm
     # [nb, p, D*F] -> [C, M, F, D]
     ga = ga.reshape(c, m, ddim, f).transpose(0, 1, 3, 2)
-    sm = sm.reshape(c, m)
     return ga, sm
 
 
@@ -280,8 +286,8 @@ def gradient_adjoint_pallas(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def perceive_cells(eng: CellEngine, S: Array, use_alpha: bool = True):
-    """(gA, mask_smooth): differentiable w.r.t. S through gA only
-    (mask_smooth is stop-gradient by construction, reference nca.py:76)."""
+    """(gA [C,M,F,D], mask_smooth): differentiable w.r.t. S through gA
+    only (mask_smooth is stop-gradient by construction, nca.py:76)."""
     ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha)
     return ga, jax.lax.stop_gradient(sm)
 
@@ -298,6 +304,73 @@ def _perceive_bwd(use_alpha, eng, cots):
 
 
 perceive_cells.defvjp(_perceive_fwd, _perceive_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def perceive_cells_dmajor(eng: CellEngine, S: Array, use_alpha: bool = True):
+    """Like perceive_cells but gA stays in the kernel-native d-major
+    [C, M, D*F] layout (no transpose in fwd or bwd)."""
+    ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha,
+                                     d_major=True)
+    return ga, jax.lax.stop_gradient(sm)
+
+
+def _perceive_dm_fwd(eng, S, use_alpha):
+    ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha,
+                                     d_major=True)
+    return (ga, jax.lax.stop_gradient(sm)), eng
+
+
+def _perceive_dm_bwd(use_alpha, eng, cots):
+    gbar, _ = cots  # [C, M, D*F] d-major — the adjoint's native layout
+    da = gradient_adjoint_dmajor_pallas(eng, eng.gsum, gbar)
+    return (None, da)
+
+
+perceive_cells_dmajor.defvjp(_perceive_dm_fwd, _perceive_dm_bwd)
+
+
+@jax.jit
+def gradient_adjoint_dmajor_pallas(
+    eng: CellEngine, gsum: Array, gflat: Array
+) -> Array:
+    """gradient_adjoint_pallas taking the cotangent already d-major
+    [C, M, D*F] (skips the transpose)."""
+    c, m, fd = gflat.shape
+    ddim = eng.xs.shape[-1]
+    f = fd // ddim
+    nb = eng.blk_win_cells.shape[0]
+    p = eng.blk_xs.shape[2]
+    w = eng.blk_xw.shape[2]
+
+    gw = eng.block_window(gflat)  # [nb, W, D*F]
+    scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
+
+    (da,) = pl.pallas_call(
+        _bwd_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((nb, p, f), jnp.float32)],
+        interpret=_interpret(),
+    )(
+        scal,
+        eng.blk_xs,
+        eng.vs.reshape(nb, 1, p),
+        gsum.reshape(nb, p, ddim),
+        gflat.reshape(nb, p, ddim * f),
+        eng.blk_xw,
+        gw,
+    )
+    return da.reshape(c, m, f)
 
 
 # ---------------------------------------------------------------------------
