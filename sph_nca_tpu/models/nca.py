@@ -99,10 +99,12 @@ def num_params(p: MLPParams) -> int:
 def apply_mlp(p: MLPParams, y: Array) -> Array:
     """y [N, 3C] -> dA [N, out]; two MXU GEMMs + ReLU.
 
-    f32 accumulation: on TPU the default matmul precision is bf16, which is
-    too coarse for the NCA's long recurrent rollouts (state errors compound
-    over K steps x thousands of training iterations)."""
-    prec = jax.lax.Precision.HIGHEST
+    Precision.HIGH (bf16x3 passes, ~tf32 accuracy) — the default bf16
+    single pass is too coarse for the NCA's long recurrent rollouts
+    (state errors compound over K steps x thousands of training
+    iterations), while full f32 (6 passes) doubles MXU time for accuracy
+    beyond the reference's own f32-fastmath CUDA."""
+    prec = jax.lax.Precision.HIGH
     h = jnp.maximum(jnp.matmul(y, p.w1, precision=prec) + p.b1, 0.0)
     return jnp.matmul(h, p.w2, precision=prec) + p.b2
 
