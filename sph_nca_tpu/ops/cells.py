@@ -236,7 +236,10 @@ def _morton_code(c: np.ndarray) -> np.ndarray:
     return code
 
 
-BG = 16  # subcells per Pallas block (P = BG * M = 128 rows)
+# Subcells per Pallas block. P = BG * M = 64 rows halves MXU row
+# utilization vs 128 but shrinks union windows ~25% (pair count dominates
+# the VPU-bound pass; measured 138M vs 177M pairs on the 100k benchmark).
+BG = 8
 
 
 def build_cell_engine(
