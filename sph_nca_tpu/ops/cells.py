@@ -85,10 +85,17 @@ class CellEngine(NamedTuple):
     # Positions are stored COORDINATE-MAJOR ([D, P] / [D, W]): per-axis
     # rows are then natural lane vectors in the kernels (slicing a
     # lane-dim-3 array per axis makes Mosaic spill catastrophically).
-    blk_xs: Array  # [nb, D, BG*M] block rows in block-local frame
-    blk_win_cells: Array  # [nb, Wu] int32 (pad -> dummy cell C)
-    blk_xw: Array  # [nb, D, Wu*M] union-window positions, block frame
-    blk_vw: Array  # [nb, Wu*M]
+    # Blocks come in TWO buckets sorted by union-window size (blk_* =
+    # first ~75% at a tight width, blk2_* = fat tail at the max width);
+    # the split lives in the array shapes so everything stays static.
+    blk_xs: Array  # [nb1, D, BG*M] block rows in block-local frame
+    blk_win_cells: Array  # [nb1, Wu1] int32 (pad -> cell 0 at PAD_POS)
+    blk_xw: Array  # [nb1, D, Wu1*M] union-window positions, block frame
+    blk_vw: Array  # [nb1, Wu1*M]
+    blk2_xs: Array  # [nb2, D, BG*M]
+    blk2_win_cells: Array  # [nb2, Wu]
+    blk2_xw: Array  # [nb2, D, Wu*M]
+    blk2_vw: Array  # [nb2, Wu*M]
     # constants
     h: Array  # scalar f32
     sig_w: Array  # smoothing normalization sigma_W
@@ -98,14 +105,14 @@ class CellEngine(NamedTuple):
     def block_cells(self) -> int:
         return self.blk_xs.shape[2] // self.xs.shape[1]
 
-    def block_window(self, S: Array) -> Array:
-        """[C, M, F] -> [nb, Wu*M, F] union-window states (one gather)."""
+    def block_window(self, S: Array, bucket: int = 1) -> Array:
+        """[C, M, F] -> [nb_i, Wu_i*M, F] union-window states (one gather
+        per bucket)."""
         c, m = self.num_cells, self.slots_per_cell
         F = S.shape[-1]
-        nb, wu = self.blk_win_cells.shape
-        return S.reshape(c, m * F)[self.blk_win_cells].reshape(
-            nb, wu * m, F
-        )
+        wc = self.blk_win_cells if bucket == 1 else self.blk2_win_cells
+        nb, wu = wc.shape
+        return S.reshape(c, m * F)[wc].reshape(nb, wu * m, F)
 
     @property
     def num_cells(self) -> int:
@@ -418,7 +425,39 @@ def build_cell_engine(
                     seen[key] = (j, total)
         blk_unions.append(list(seen.values()))
 
-    Wu = max(1, max(len(u) for u in blk_unions))
+    # ---- window-size bucketing ------------------------------------------
+    # Union sizes have a fat tail (p75 ~ 0.6x max on curved surfaces); all
+    # blocks padded to the max waste ~35% of the pair pass. Reorder blocks
+    # by union size (a global subcell renumbering) so the Pallas wrappers
+    # can run the first ~75% of blocks with a tight window width and only
+    # the tail with the max — the split is carried in the array SHAPES
+    # (blk_* = small bucket, blk2_* = tail), keeping everything static.
+    sizes = np.asarray([len(u) for u in blk_unions])
+    border = np.argsort(sizes, kind="stable")
+    old_cells = (border[:, None] * BG + np.arange(BG)).reshape(-1)
+    newid = np.empty(C, np.int64)
+    newid[old_cells] = np.arange(C)
+    # permute every per-cell artifact and remap stored cell ids
+    xs = np.concatenate([xs[:C][old_cells], xs[C:]])
+    origins_pad = origins_pad[old_cells]
+    win_cells = newid[win_cells[old_cells]].astype(np.int32)
+    win_shift = win_shift[old_cells]
+    xw = xw[old_cells]
+    cell_old = slot_of_particle // M
+    slot_of_particle = newid[cell_old] * M + slot_of_particle % M
+    blk_unions = [
+        [(int(newid[j]), total) for j, total in blk_unions[b]]
+        for b in border
+    ]
+    sizes = sizes[border]
+
+    # bucket split at ~p75 (both buckets non-empty unless sizes are flat)
+    nb1 = int(np.clip(round(0.75 * nb), 1, nb))
+    if sizes[nb1 - 1] == sizes[-1]:
+        nb1 = nb  # no tail to separate
+    Wu1 = max(1, int(sizes[:nb1].max()))
+    Wu = max(1, int(sizes.max()))
+
     blk_win_cells = np.zeros((nb, Wu), np.int32)  # pad -> cell 0 ...
     blk_shift = np.full((nb, Wu, d), PAD_POS, np.float32)  # ... pushed out
     for b, entries in enumerate(blk_unions):
@@ -426,13 +465,24 @@ def build_cell_engine(
             blk_win_cells[b, s_i] = j
             blk_shift[b, s_i] = total
 
-    blk_xw = xs[blk_win_cells] + blk_shift[:, :, None, :]
-    blk_xw = blk_xw.reshape(nb, Wu * M, d).transpose(0, 2, 1)  # [nb, D, W]
+    blk_xw_full = xs[blk_win_cells] + blk_shift[:, :, None, :]  # [nb,Wu,M,D]
     # block rows in the block frame
     row_shift = (origins_pad - origins_pad[(np.arange(C) // BG) * BG])
-    blk_xs = (xs[:C] + row_shift[:, None, :].astype(np.float32)).reshape(
+    blk_xs_full = (xs[:C] + row_shift[:, None, :].astype(np.float32)).reshape(
         nb, BG * M, d
     ).transpose(0, 2, 1)  # [nb, D, P]
+
+    def bucket_arrays(b0, b1, wu):
+        wc = np.ascontiguousarray(blk_win_cells[b0:b1, :wu])
+        bxw = (
+            blk_xw_full[b0:b1, :wu]
+            .reshape(b1 - b0, wu * M, d)
+            .transpose(0, 2, 1)
+        )
+        return wc, np.ascontiguousarray(bxw), blk_xs_full[b0:b1]
+
+    win1, xw1, xs1 = bucket_arrays(0, nb1, Wu1)
+    win2, xw2, xs2 = bucket_arrays(nb1, nb, Wu)
 
     sig_w = K.get_smoothing_kernel(smoothing).norm(h, d)
     sig_g = K.get_gradient_kernel(gradient_kernel).norm(h, d)
@@ -448,10 +498,14 @@ def build_cell_engine(
         Tw=zero_t,
         Tg=zero_t,
         gsum=jnp.zeros((C, M, d)),
-        blk_xs=jnp.asarray(blk_xs),
-        blk_win_cells=jnp.asarray(blk_win_cells),
-        blk_xw=jnp.asarray(blk_xw),
-        blk_vw=jnp.zeros((nb, Wu * M)),
+        blk_xs=jnp.asarray(xs1),
+        blk_win_cells=jnp.asarray(win1),
+        blk_xw=jnp.asarray(xw1),
+        blk_vw=jnp.zeros((nb1, Wu1 * M)),
+        blk2_xs=jnp.asarray(xs2),
+        blk2_win_cells=jnp.asarray(win2),
+        blk2_xw=jnp.asarray(xw2),
+        blk2_vw=jnp.zeros((nb - nb1, Wu * M)),
         h=jnp.float32(h),
         sig_w=jnp.float32(sig_w),
         sig_g=jnp.float32(sig_g),
@@ -499,8 +553,14 @@ def _finalize(
     s_t = jnp.sum(Tg, axis=-1)
     gsum = s_xw - eng.xs * s_t[..., None]
 
-    nb = eng.blk_win_cells.shape[0]
-    blk_vw = vs.reshape(c, m)[eng.blk_win_cells].reshape(nb, -1)
+    vflat = vs.reshape(c, m)
+    blk_vw = vflat[eng.blk_win_cells].reshape(
+        eng.blk_win_cells.shape[0], eng.blk_xw.shape[2]
+    )
+    blk2_vw = vflat[eng.blk2_win_cells].reshape(
+        eng.blk2_win_cells.shape[0], eng.blk2_xw.shape[2]
+    )
     return eng._replace(
-        vs=vs, vw=vw, Tw=Tw, Tg=Tg, gsum=gsum, blk_vw=blk_vw
+        vs=vs, vw=vw, Tw=Tw, Tg=Tg, gsum=gsum,
+        blk_vw=blk_vw, blk2_vw=blk2_vw,
     )

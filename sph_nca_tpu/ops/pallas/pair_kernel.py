@@ -126,6 +126,29 @@ def _fwd_kernel(
     ga_ref[:] = jnp.concatenate(out, axis=-1)
 
 
+def _buckets(eng: CellEngine):
+    """Iterate the non-empty block buckets as
+    (row_slice, xs_b, win_b, xw_b, vw_b)."""
+    p = eng.blk_xs.shape[2]
+    out = []
+    nb1 = eng.blk_xs.shape[0]
+    if nb1:
+        out.append((0, nb1, eng.blk_xs, eng.blk_win_cells, eng.blk_xw,
+                    eng.blk_vw))
+    nb2 = eng.blk2_xs.shape[0]
+    if nb2:
+        out.append((nb1, nb1 + nb2, eng.blk2_xs, eng.blk2_win_cells,
+                    eng.blk2_xw, eng.blk2_vw))
+    return out
+
+
+def _bucket_window(eng: CellEngine, S: Array, win_cells: Array) -> Array:
+    c, m = eng.num_cells, eng.slots_per_cell
+    F = S.shape[-1]
+    nb, wu = win_cells.shape
+    return S.reshape(c, m * F)[win_cells].reshape(nb, wu * m, F)
+
+
 @functools.partial(jax.jit, static_argnames=("use_alpha", "d_major"))
 def fused_perception_pallas(
     eng: CellEngine, S: Array, *, use_alpha: bool = True,
@@ -138,41 +161,46 @@ def fused_perception_pallas(
     blocks), which is exactly what the NCA feature concat consumes —
     skipping a 2x40MB transpose round trip per step at N=1e5.
     ``sm`` is the smoothed alive indicator (pre-threshold); the model
-    treats it as stop-gradient (nca.py:76).
+    treats it as stop-gradient (nca.py:76). Runs once per window-size
+    bucket (tight width for most blocks, max width for the tail).
     """
     c, m, f = S.shape
     ddim = eng.xs.shape[-1]
-    nb = eng.blk_win_cells.shape[0]
     p = eng.blk_xs.shape[2]  # BG*M
-    w = eng.blk_xw.shape[2]  # Wu*M
-
-    Sw = eng.block_window(S)  # [nb, W, F] — the one XLA gather
-    ab = S.reshape(nb, p, f)
-
     scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
+    ab_all = S.reshape(-1, p, f)
 
-    ga, sm = pl.pallas_call(
-        functools.partial(_fwd_kernel, use_alpha=use_alpha),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, p, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((None, p, f * ddim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, p, f * ddim), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, p), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(scal, eng.blk_xs, ab, eng.blk_xw, eng.blk_vw[:, None, :], Sw)
+    gas, sms = [], []
+    for b0, b1, xs_b, win_b, xw_b, vw_b in _buckets(eng):
+        nb = b1 - b0
+        w = xw_b.shape[2]
+        Sw = _bucket_window(eng, S, win_b)
+        ga, sm = pl.pallas_call(
+            functools.partial(_fwd_kernel, use_alpha=use_alpha),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, p, f), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((None, p, f * ddim), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, p, f * ddim), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 1, p), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(scal, xs_b, ab_all[b0:b1], xw_b, vw_b[:, None, :], Sw)
+        gas.append(ga)
+        sms.append(sm)
 
+    ga = jnp.concatenate(gas, axis=0) if len(gas) > 1 else gas[0]
+    sm = jnp.concatenate(sms, axis=0) if len(sms) > 1 else sms[0]
     sm = sm.reshape(c, m)
     if d_major:
         return ga.reshape(c, m, ddim * f), sm
@@ -232,55 +260,67 @@ def _bwd_kernel(
 
 
 @jax.jit
-def gradient_adjoint_pallas(
-    eng: CellEngine, gsum: Array, gbar: Array
+def gradient_adjoint_dmajor_pallas(
+    eng: CellEngine, gsum: Array, gflat: Array
 ) -> Array:
-    """dL/dS of the SPH gradient: gbar [C, M, F, D] -> [C, M, F].
+    """dL/dS of the SPH gradient with the cotangent d-major [C, M, D*F].
 
     IMPORTANT frame note: term1 mixes window positions with the query row
     positions, so the window copies must carry the same wrap shifts as the
-    forward — which eng.blk_xw provides. The cotangents themselves are
-    frame-independent.
+    forward — which the bucket window arrays provide. The cotangents
+    themselves are frame-independent.
     """
-    c, m, f, ddim = gbar.shape
-    nb = eng.blk_win_cells.shape[0]
+    c, m, fd = gflat.shape
+    ddim = eng.xs.shape[-1]
+    f = fd // ddim
     p = eng.blk_xs.shape[2]
-    w = eng.blk_xw.shape[2]
-
-    gflat = gbar.transpose(0, 1, 3, 2).reshape(c, m, ddim * f)
-    gw = eng.block_window(gflat)  # [nb, W, D*F]
 
     scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
+    gflat_all = gflat.reshape(-1, p, fd)
+    vs_all = eng.vs.reshape(-1, 1, p)
+    gsum_all = gsum.reshape(-1, p, ddim)
 
-    (da,) = pl.pallas_call(
-        _bwd_kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
-        out_shape=[jax.ShapeDtypeStruct((nb, p, f), jnp.float32)],
-        interpret=_interpret(),
-    )(
-        scal,
-        eng.blk_xs,
-        eng.vs.reshape(nb, 1, p),
-        gsum.reshape(nb, p, ddim),
-        gflat.reshape(nb, p, ddim * f),
-        eng.blk_xw,
-        gw,
-    )
+    das = []
+    for b0, b1, xs_b, win_b, xw_b, vw_b in _buckets(eng):
+        nb = b1 - b0
+        w = xw_b.shape[2]
+        gw = _bucket_window(eng, gflat, win_b)
+        (da,) = pl.pallas_call(
+            _bwd_kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((nb, p, f), jnp.float32)],
+            interpret=_interpret(),
+        )(
+            scal, xs_b, vs_all[b0:b1], gsum_all[b0:b1],
+            gflat_all[b0:b1], xw_b, gw,
+        )
+        das.append(da)
+    da = jnp.concatenate(das, axis=0) if len(das) > 1 else das[0]
     return da.reshape(c, m, f)
 
 
+@jax.jit
+def gradient_adjoint_pallas(
+    eng: CellEngine, gsum: Array, gbar: Array
+) -> Array:
+    """dL/dS of the SPH gradient: gbar [C, M, F, D] -> [C, M, F]."""
+    c, m, f, ddim = gbar.shape
+    gflat = gbar.transpose(0, 1, 3, 2).reshape(c, m, ddim * f)
+    return gradient_adjoint_dmajor_pallas(eng, gsum, gflat)
+
+
 # ---------------------------------------------------------------------------
-# custom_vjp op used by the model step
+# custom_vjp ops used by the model step
 # ---------------------------------------------------------------------------
 
 
@@ -330,49 +370,6 @@ def _perceive_dm_bwd(use_alpha, eng, cots):
 perceive_cells_dmajor.defvjp(_perceive_dm_fwd, _perceive_dm_bwd)
 
 
-@jax.jit
-def gradient_adjoint_dmajor_pallas(
-    eng: CellEngine, gsum: Array, gflat: Array
-) -> Array:
-    """gradient_adjoint_pallas taking the cotangent already d-major
-    [C, M, D*F] (skips the transpose)."""
-    c, m, fd = gflat.shape
-    ddim = eng.xs.shape[-1]
-    f = fd // ddim
-    nb = eng.blk_win_cells.shape[0]
-    p = eng.blk_xs.shape[2]
-    w = eng.blk_xw.shape[2]
-
-    gw = eng.block_window(gflat)  # [nb, W, D*F]
-    scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
-
-    (da,) = pl.pallas_call(
-        _bwd_kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
-        out_shape=[jax.ShapeDtypeStruct((nb, p, f), jnp.float32)],
-        interpret=_interpret(),
-    )(
-        scal,
-        eng.blk_xs,
-        eng.vs.reshape(nb, 1, p),
-        gsum.reshape(nb, p, ddim),
-        gflat.reshape(nb, p, ddim * f),
-        eng.blk_xw,
-        gw,
-    )
-    return da.reshape(c, m, f)
-
-
 # ---------------------------------------------------------------------------
 # standalone life-mask blur (post-update mask)
 # ---------------------------------------------------------------------------
@@ -400,30 +397,36 @@ def mask_blur_pallas(
     """Life-mask smoothing only: S [C, M, F] -> sm [C, M]."""
     c, m, f = S.shape
     ddim = eng.xs.shape[-1]
-    nb = eng.blk_win_cells.shape[0]
     p = eng.blk_xs.shape[2]
-    w = eng.blk_xw.shape[2]
 
+    act = None
     if use_alpha:
         act = (S[..., 3] > 0.1).astype(jnp.float32)[..., None]  # [C, M, 1]
-        aw = eng.block_window(act)[..., 0]  # [nb, W]
-    else:
-        aw = (eng.blk_vw > 0.0).astype(jnp.float32)
 
     scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
 
-    (sm,) = pl.pallas_call(
-        _mask_kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0))],
-        out_shape=[jax.ShapeDtypeStruct((nb, 1, p), jnp.float32)],
-        interpret=_interpret(),
-    )(scal, eng.blk_xs, eng.blk_xw, eng.blk_vw[:, None, :], aw[:, None, :])
+    sms = []
+    for b0, b1, xs_b, win_b, xw_b, vw_b in _buckets(eng):
+        nb = b1 - b0
+        w = xw_b.shape[2]
+        if use_alpha:
+            aw = _bucket_window(eng, act, win_b)[..., 0]
+        else:
+            aw = (vw_b > 0.0).astype(jnp.float32)
+        (sm,) = pl.pallas_call(
+            _mask_kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((nb, 1, p), jnp.float32)],
+            interpret=_interpret(),
+        )(scal, xs_b, xw_b, vw_b[:, None, :], aw[:, None, :])
+        sms.append(sm)
+    sm = jnp.concatenate(sms, axis=0) if len(sms) > 1 else sms[0]
     return sm.reshape(c, m)

@@ -104,11 +104,18 @@ def shard_cell_engine(eng, mesh: Mesh, batch_scatter=None):
     lower to XLA gathers + collectives over ICI.
     """
     s = NamedSharding(mesh, P(PARTICLE_AXIS))
-    sharded = {
-        n: jax.device_put(getattr(eng, n), s)
-        for n in (
-            "xs", "vs", "win_cells", "xw", "vw", "Tw", "Tg", "gsum",
-            "blk_xs", "blk_win_cells", "blk_xw", "blk_vw",
+    rep = NamedSharding(mesh, P())
+    axis = mesh.shape[PARTICLE_AXIS]
+    sharded = {}
+    for n in (
+        "xs", "vs", "win_cells", "xw", "vw", "Tw", "Tg", "gsum",
+        "blk_xs", "blk_win_cells", "blk_xw", "blk_vw",
+        "blk2_xs", "blk2_win_cells", "blk2_xw", "blk2_vw",
+    ):
+        a = getattr(eng, n)
+        # block buckets have data-dependent sizes; replicate the ones that
+        # do not divide the axis (they are only read, never reduced over)
+        sharded[n] = jax.device_put(
+            a, s if a.shape[0] % axis == 0 and a.shape[0] else rep
         )
-    }
     return eng._replace(**sharded)
