@@ -296,7 +296,11 @@ def main(argv=None) -> int:
                 train_cfg=train_cfg,
                 seed_x=np.asarray(x2),
                 seed_A=np.asarray(A_seed),
-                extra_meta={"args": vars(args)},
+                extra_meta={
+                    "args": vars(args),
+                    "mode": "image" if args.loss == "mse_simple"
+                    else "texture",
+                },
             )
             save_weights_json(
                 ck_path + ".json",
