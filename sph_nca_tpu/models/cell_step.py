@@ -1,7 +1,7 @@
 """NCA step and rollout over the cell-dense engine (the TPU fast path).
 
 Semantically identical to models/nca.nca_step (reference nca.py:87-117) but
-operating on the cell layout S [C+1, M, F] of ops/cells.CellEngine:
+operating on the cell layout S [C, M, F] of ops/cells.CellEngine:
 
   * ONE window gather per phase feeds both the life-mask blur and the
     SPH-gradient perception (vs two [N*K]-row gathers in the list path);

@@ -6,24 +6,20 @@ gathers per op (~10ms at N=1e5, K=40 on v5e) while the same bytes moved as
 ~1.5KB cell rows run at full HBM bandwidth (measured 735GB/s). This engine
 therefore restructures the computation around whole cells:
 
-  * particles live in a cell-dense layout S [C+1, M, F]: one row block per
-    occupied hash cell, M slots (padded; slot positions padded to 1e9 so
-    every kernel weight against them is exactly 0). Row C is an all-zero
-    dummy cell.
-  * each op processes one cell against its <=3^D occupied stencil cells:
+  * particles live in a cell-dense layout S [C, M, F]: one row block per
+    occupied SUBCELL (fat cells split into M=8-slot subcells so slot
+    padding stays tight), Morton-ordered then regrouped by window size;
+    padded slots sit at PAD_POS so every kernel weight against them is
+    exactly 0 — there is no dummy row, and C pads to a multiple that
+    shards evenly.
+  * each op processes one subcell against its occupied stencil subcells:
     the window state is ONE cell-granularity gather S[win_cells]
-    ([C, W, M*F] contiguous rows), window positions/volumes are
-    precomputed per block with periodic wrap shifts baked in.
+    ([C, W, M*F] contiguous rows), window positions/volumes precomputed
+    with periodic wrap shifts baked in.
   * pair weights W(d2), spiky magnitude are computed on the fly from
-    positions (d2 via the |a|^2+|b|^2-2ab MXU cross-term), and the SPH
-    sums become batched matmuls through a moment expansion:
-
-      grad_i[f,d] = sum_j T_ij (xw_j - xb_i)_d (Aw_j - Ab_i)_f
-                  = [T @ (Aw*xw_d)] - xb_d [T @ Aw] - Ab_f [T @ xw_d]
-                    + xb_d Ab_f [T @ 1]
-
-    i.e. one [M, W] @ [W, (D+1)(F+1)] matmul per cell — MXU work instead
-    of gathers.
+    positions, and the SPH sums become [M, W] x [W, *] matmuls (see the
+    Pallas kernels in ops/pallas/pair_kernel.py for the fused fast path;
+    this module's einsum forms are the XLA reference path).
 
 This engine is semantically identical to the reference operators
 (operators_batch.py): same kernels, same normalizations, sums over the
@@ -79,7 +75,7 @@ class CellEngine(NamedTuple):
     # gsum_i = sigma_g sum_k mag_ik r_ik v_k — the self-term of the SPH
     # gradient adjoint (used by the Pallas custom_vjp backward)
     gsum: Array  # [C, M, D]
-    # block structure for the Pallas kernels: BG=8 Morton-consecutive cells
+    # block structure for the Pallas kernels: BG Morton-consecutive subcells
     # share one union stencil window, giving [BG*M, Wu*M] pair tiles that
     # fill the MXU/VPU (single cells are too small a compute unit).
     # Positions are stored COORDINATE-MAJOR ([D, P] / [D, W]): per-axis
@@ -174,7 +170,7 @@ class CellEngine(NamedTuple):
     # -- operators ---------------------------------------------------------
 
     def blur(self, S: Array, *, Sw: Optional[Array] = None) -> Array:
-        """SPH blur in cell layout: [C+1, M, F] -> [C+1, M, F].
+        """SPH blur in cell layout: [C, M, F] -> [C, M, F].
 
         Reference semantics: operators_batch.py:601-671. ``Sw`` lets the
         caller reuse an existing window gather of S.
@@ -186,7 +182,7 @@ class CellEngine(NamedTuple):
         )
 
     def gradient(self, S: Array, *, Sw: Optional[Array] = None) -> Array:
-        """SPH gradient in cell layout: [C+1, M, F] -> [C+1, M, F, D].
+        """SPH gradient in cell layout: [C, M, F] -> [C, M, F, D].
 
         Reference semantics: operators_batch.py:159-235, via the moment
         expansion (one fused matmul per cell).
