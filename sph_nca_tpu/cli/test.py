@@ -57,6 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_3d", type=str2bool, default=True)
     p.add_argument("--export_every", type=int, default=1,
                    help="export every n-th step")
+    p.add_argument("--engine", choices=["cells", "graph"], default="cells")
     return p
 
 
@@ -225,11 +226,6 @@ def main(argv=None) -> int:
                 jnp.asarray([2.0, 2.0, 2.0]) if args.use_3d
                 else jnp.asarray([2.0, 2.0])
             )
-        mpc, k = ops.suggest_capacity(np.asarray(x), h, dims)
-        graph = ops.build_graph(
-            x, h, dims, max_per_cell=mpc, k=k, period=period
-        )
-
         key, ks = jax.random.split(key)
         A0 = plane_seed(
             x2, cfg.channels, gmin=gmin, gsize=gsize, radius=seed_radius,
@@ -237,10 +233,24 @@ def main(argv=None) -> int:
         )
         print(f"image rollout: n={x.shape[0]}, {args.steps} steps")
         t0_wall = time.time()
-        states = rollout_states(
-            params, cfg, graph, A0, key, args.steps, h,
-            fire_rate=args.firerate,
-        )
+        if args.engine == "cells":
+            from ..models.cell_step import rollout_states_cells
+            from ..ops.cells import build_cell_engine
+
+            eng = build_cell_engine(x, h, period=period)
+            states = rollout_states_cells(
+                params, cfg, eng, A0, key, args.steps, h,
+                fire_rate=args.firerate,
+            )
+        else:
+            mpc, k = ops.suggest_capacity(np.asarray(x), h, dims)
+            graph = ops.build_graph(
+                x, h, dims, max_per_cell=mpc, k=k, period=period
+            )
+            states = rollout_states(
+                params, cfg, graph, A0, key, args.steps, h,
+                fire_rate=args.firerate,
+            )
         states = np.asarray(states)
         print(f"rollout {time.time() - t0_wall:.1f}s")
 

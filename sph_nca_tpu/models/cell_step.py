@@ -171,3 +171,28 @@ def rollout_cells(
         body, (S0, buf0), jnp.arange(max_steps), length=max_steps
     )
     return RolloutOut(final=final, collected=buf)
+
+
+def rollout_states_cells(
+    params: MLPParams,
+    cfg: SPHNCAConfig,
+    eng: CellEngine,
+    A0: Array,  # [N, F] particle order
+    key: Array,
+    n_steps: int,
+    h,
+    *,
+    fire_rate: Optional[float] = None,
+    use_pallas: bool = True,
+) -> Array:
+    """Full trajectory in PARTICLE order [n_steps+1, N, F] via the cell
+    engine (mirrors models/rollout.rollout_states for inference/export)."""
+    S0 = eng.scatter(A0)
+
+    def body(S, t):
+        nS = nca_step_cells(params, cfg, eng, S, jax.random.fold_in(key, t),
+                            h, fire_rate=fire_rate, use_pallas=use_pallas)
+        return nS, eng.gather_back(nS)
+
+    _, states = jax.lax.scan(body, S0, jnp.arange(n_steps))
+    return jnp.concatenate([A0[None], states], axis=0)
