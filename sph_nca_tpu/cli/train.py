@@ -271,9 +271,16 @@ def main(argv=None) -> int:
     metrics = MetricsLogger(
         os.path.join(args.output_dir, f"metrics-{run_id}.jsonl")
     )
+    import gc
+
     for i in range(args.training_iter + 1):
         loss = trainer.run_iteration(i, pool)
         losses.append(loss)
+        if i % 200 == 199:
+            # long-run hygiene: reference cycles can delay freeing of
+            # per-iteration host/device buffers (observed unbounded RSS
+            # growth over multi-hour runs under tunneled PJRT backends)
+            gc.collect()
         if i % args.log_every == 0:
             rate = (i + 1) / (time.time() - t_start)
             print(
