@@ -86,7 +86,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["cells", "graph"], default="cells",
                    help="neighborhood engine: cell-dense+Pallas (fast) or "
                         "fixed-K neighbor lists")
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint dir to resume from (pool + RNG + "
+                        "optimizer state restored exactly), or 'auto' to "
+                        "pick the latest resumable checkpoint in "
+                        "--output_dir")
+    p.add_argument("--save_resume", type=str2bool, default=True,
+                   help="write the full-resume sidecar (pool + RNG states) "
+                        "with each checkpoint; the previous checkpoint's "
+                        "sidecar is pruned to bound disk use")
+    p.add_argument("--max_rss_gb", type=float, default=0.0,
+                   help="if >0, save a resumable checkpoint and exit with "
+                        "code 42 when host RSS exceeds this many GB (rerun "
+                        "with --resume auto to continue; works around "
+                        "host-memory growth on long runs)")
     return p
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6  # kB -> GB
+    except OSError:
+        pass
+    return 0.0
 
 
 def main(argv=None) -> int:
@@ -97,7 +122,15 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from .. import ops
-    from ..io import load_checkpoint, save_checkpoint, save_weights_json
+    from ..io import (
+        find_latest_resumable,
+        load_checkpoint,
+        load_resume_state,
+        restore_opt_state,
+        save_checkpoint,
+        save_resume_state,
+        save_weights_json,
+    )
     from ..models import SPHNCAConfig
     from ..training import (
         MSELossConfig,
@@ -229,8 +262,21 @@ def main(argv=None) -> int:
         seed=args.seed,
     )
 
+    resume_path = args.resume
+    if resume_path == "auto":
+        resume_path = find_latest_resumable(args.output_dir) or ""
+        if resume_path:
+            print(f"resume auto -> {resume_path}")
+        else:
+            print("resume auto: no resumable checkpoint found, fresh start")
+
     params = None
-    if args.pretrained_checkpoint:
+    resume_ck = None
+    if resume_path:
+        resume_ck = load_checkpoint(resume_path)
+        params = resume_ck["params"]
+        print(f"resuming from {resume_path} (step {resume_ck['step']})")
+    elif args.pretrained_checkpoint:
         ck = load_checkpoint(args.pretrained_checkpoint)
         params = ck["params"]
         print(f"loaded pretrained checkpoint (step {ck['step']})")
@@ -262,6 +308,24 @@ def main(argv=None) -> int:
         rng=np.random.default_rng(args.seed),
     )
 
+    start_iter = 0
+    if resume_ck is not None:
+        if "opt_state" in resume_ck:
+            trainer.opt_state = restore_opt_state(
+                trainer.opt_state, resume_ck["opt_state"]
+            )
+        rs = load_resume_state(resume_path)
+        if rs["pool_A"].shape != pool.A.shape:
+            raise SystemExit(
+                f"--resume pool shape {rs['pool_A'].shape} does not match "
+                f"current config {pool.A.shape}; rerun with the original "
+                "flags"
+            )
+        pool.A[:] = rs["pool_A"]
+        pool.rng.bit_generator.state = rs["pool_rng"]
+        trainer.set_rng_state(rs["np_rng"], rs["key_data"])
+        start_iter = int(resume_ck["step"])
+
     os.makedirs(args.output_dir, exist_ok=True)
     run_id = time.strftime("%m%d%H%M")
     t_start = time.time()
@@ -273,7 +337,50 @@ def main(argv=None) -> int:
     )
     import gc
 
-    for i in range(args.training_iter + 1):
+    mode_name = "image" if args.loss == "mse_simple" else "texture"
+    prev_resume_ck = [resume_path if resume_ck is not None else ""]
+
+    def save_all(step: int, loss: float) -> str:
+        ck_path = os.path.join(args.output_dir, f"sphnca-{run_id}-{step:04d}")
+        save_checkpoint(
+            ck_path,
+            params=trainer.params,
+            model_cfg=model_cfg,
+            h=h,
+            step=step,
+            loss=loss,
+            opt_state=trainer.opt_state,
+            train_cfg=train_cfg,
+            seed_x=np.asarray(x2),
+            seed_A=np.asarray(A_seed),
+            extra_meta={"args": vars(args), "mode": mode_name},
+        )
+        save_weights_json(
+            ck_path + ".json", trainer.params, model_cfg, h, mode=mode_name
+        )
+        if args.save_resume:
+            rng = trainer.rng_state()
+            save_resume_state(
+                ck_path,
+                pool_A=pool.A,
+                key_data=rng["key_data"],
+                np_rng_state=rng["np_rng"],
+                pool_rng_state=pool.rng.bit_generator.state,
+            )
+            # prune the previous sidecar (pool states are large); the
+            # checkpoint itself (weights/opt_state) is kept
+            prev = prev_resume_ck[0]
+            if prev and prev != ck_path:
+                for side in ("resume.npz", "resume_rng.json"):
+                    try:
+                        os.remove(os.path.join(prev, side))
+                    except OSError:
+                        pass
+            prev_resume_ck[0] = ck_path
+        print(f"saved checkpoint {ck_path}")
+        return ck_path
+
+    for i in range(start_iter, args.training_iter + 1):
         loss = trainer.run_iteration(i, pool)
         losses.append(loss)
         if i % 200 == 199:
@@ -282,41 +389,25 @@ def main(argv=None) -> int:
             # growth over multi-hour runs under tunneled PJRT backends)
             gc.collect()
         if i % args.log_every == 0:
-            rate = (i + 1) / (time.time() - t_start)
+            rate = (i + 1 - start_iter) / (time.time() - t_start)
+            rss = _rss_gb()
             print(
-                f"iter {i:6d}  loss {loss:.6f}  ({rate:.2f} it/s)",
+                f"iter {i:6d}  loss {loss:.6f}  ({rate:.2f} it/s, "
+                f"rss {rss:.2f} GB)",
                 flush=True,
             )
-            metrics.log(i, loss=loss, it_per_sec=rate)
+            metrics.log(i, loss=loss, it_per_sec=rate, rss_gb=rss)
+            if args.max_rss_gb > 0 and rss > args.max_rss_gb:
+                save_all(i + 1, loss)
+                metrics.close()
+                print(
+                    f"RSS {rss:.2f} GB > --max_rss_gb {args.max_rss_gb}; "
+                    "checkpointed for --resume auto, exiting 42",
+                    flush=True,
+                )
+                return 42
         if (i + 1) % args.checkpoint_every == 0:
-            ck_path = os.path.join(
-                args.output_dir, f"sphnca-{run_id}-{i + 1:04d}"
-            )
-            save_checkpoint(
-                ck_path,
-                params=trainer.params,
-                model_cfg=model_cfg,
-                h=h,
-                step=i + 1,
-                loss=loss,
-                opt_state=trainer.opt_state,
-                train_cfg=train_cfg,
-                seed_x=np.asarray(x2),
-                seed_A=np.asarray(A_seed),
-                extra_meta={
-                    "args": vars(args),
-                    "mode": "image" if args.loss == "mse_simple"
-                    else "texture",
-                },
-            )
-            save_weights_json(
-                ck_path + ".json",
-                trainer.params,
-                model_cfg,
-                h,
-                mode="image" if args.loss == "mse_simple" else "texture",
-            )
-            print(f"saved checkpoint {ck_path}")
+            save_all(i + 1, loss)
 
     metrics.close()
     print(f"Done! total {time.time() - t_start:.1f}s")

@@ -111,3 +111,65 @@ def restore_opt_state(template: Any, raw: Any) -> Any:
     """Restore a raw msgpack opt_state dict onto a freshly-initialized
     optimizer state pytree (serialization.from_state_dict)."""
     return serialization.from_state_dict(template, raw)
+
+
+# ---------------------------------------------------------------------------
+# Full-resume sidecar: pool states + host/device RNG states.
+#
+# The reference restores weights only (train.py:266-269); with this sidecar a
+# killed run resumes with an identical loss trajectory (pool contents, numpy
+# PCG64 streams, and the jax PRNG key all round-trip).
+# ---------------------------------------------------------------------------
+
+
+def save_resume_state(
+    path: str,
+    *,
+    pool_A: np.ndarray,
+    key_data: np.ndarray,
+    np_rng_state: Dict[str, Any],
+    pool_rng_state: Dict[str, Any],
+) -> None:
+    np.savez(
+        os.path.join(path, "resume.npz"),
+        pool_A=np.asarray(pool_A),
+        key_data=np.asarray(key_data),
+    )
+    with open(os.path.join(path, "resume_rng.json"), "w") as f:
+        json.dump({"np_rng": np_rng_state, "pool_rng": pool_rng_state}, f)
+
+
+def load_resume_state(path: str) -> Dict[str, Any]:
+    data = np.load(os.path.join(path, "resume.npz"))
+    with open(os.path.join(path, "resume_rng.json")) as f:
+        rng = json.load(f)
+    return {
+        "pool_A": data["pool_A"],
+        "key_data": data["key_data"],
+        "np_rng": rng["np_rng"],
+        "pool_rng": rng["pool_rng"],
+    }
+
+
+def has_resume_state(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "resume.npz"))
+
+
+def find_latest_resumable(output_dir: str) -> Optional[str]:
+    """Latest (highest-step) checkpoint dir under output_dir that carries a
+    resume sidecar; None if there is none."""
+    best, best_step = None, -1
+    if not os.path.isdir(output_dir):
+        return None
+    for name in os.listdir(output_dir):
+        p = os.path.join(output_dir, name)
+        if not (os.path.isdir(p) and has_resume_state(p)):
+            continue
+        try:
+            with open(os.path.join(p, "meta.json")) as f:
+                step = int(json.load(f)["step"])
+        except (OSError, KeyError, ValueError):
+            continue
+        if step > best_step:
+            best, best_step = p, step
+    return best

@@ -324,6 +324,19 @@ class Trainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, final, order
 
+    # -- resume support ------------------------------------------------------
+
+    def rng_state(self):
+        """Host + device RNG state for exact resume (see io.checkpoint)."""
+        return {
+            "np_rng": self.np_rng.bit_generator.state,
+            "key_data": np.asarray(jax.random.key_data(self.key)),
+        }
+
+    def set_rng_state(self, np_rng_state, key_data) -> None:
+        self.np_rng.bit_generator.state = np_rng_state
+        self.key = jax.random.wrap_key_data(jnp.asarray(key_data))
+
     # -- host loop ---------------------------------------------------------
 
     def run_iteration(self, i: int, pool: Pool) -> float:

@@ -129,3 +129,71 @@ def test_eval_cli(tmp_path):
     assert rc == 0
     res = json.load(open(out_json))
     assert len(res) == 2 and "psnr" in res[0]
+
+
+def test_train_cli_exact_resume(tmp_path):
+    """A killed-and-resumed run reproduces an unbroken run's loss
+    trajectory and final weights exactly (pool + RNG + optimizer state
+    all round-trip through the resume sidecar)."""
+    from PIL import Image
+
+    from sph_nca_tpu.cli.train import main
+    from sph_nca_tpu.io import load_checkpoint
+
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[4:12, 4:12] = [255, 128, 0, 255]
+    img_path = str(tmp_path / "t.png")
+    Image.fromarray(img).save(img_path)
+
+    base = [
+        "--img", img_path, "--image_size", "16", "--target_size", "16",
+        "--h", "0.25", "--batch_size", "2", "--pool_size", "4",
+        "--steps_range", "4,6", "--steps_increment", "2",
+        "--channels", "8", "--hidden", "16", "--checkpoint_every", "4",
+        "--log_every", "1", "--seed", "3",
+    ]
+
+    def losses_of(out_dir):
+        recs = []
+        for name in sorted(os.listdir(out_dir)):
+            if name.startswith("metrics-"):
+                with open(os.path.join(out_dir, name)) as f:
+                    recs += [json.loads(l) for l in f if l.strip()]
+        return {r["step"]: r["loss"] for r in recs}
+
+    # unbroken run: iterations 0..8
+    full = str(tmp_path / "full")
+    assert main(base + ["--training_iter", "8", "--output_dir", full]) == 0
+
+    # broken run: stops after iteration 4 (checkpoint+sidecar at step 4)
+    broken = str(tmp_path / "broken")
+    assert main(base + ["--training_iter", "4", "--output_dir", broken]) == 0
+    # resume it to 8
+    assert main(
+        base
+        + ["--training_iter", "8", "--output_dir", broken, "--resume", "auto"]
+    ) == 0
+
+    lf, lb = losses_of(full), losses_of(broken)
+    for step in range(4, 9):
+        assert lb[step] == lf[step], (step, lb[step], lf[step])
+
+    def final_params(out_dir):
+        cks = [
+            e for e in os.listdir(out_dir)
+            if e.startswith("sphnca-") and e.endswith("-0008")
+        ]
+        assert cks, os.listdir(out_dir)
+        return load_checkpoint(os.path.join(out_dir, cks[0]))["params"]
+
+    pf, pb = final_params(full), final_params(broken)
+    for a, b in zip(pf, pb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the superseded sidecar was pruned; only the latest keeps one
+    sidecars = [
+        d for d in os.listdir(broken)
+        if os.path.isdir(os.path.join(broken, d))
+        and os.path.exists(os.path.join(broken, d, "resume.npz"))
+    ]
+    assert sidecars == [s for s in sidecars if s.endswith("-0008")], sidecars
