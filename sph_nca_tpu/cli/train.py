@@ -121,6 +121,10 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from ..utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .. import ops
     from ..io import (
         find_latest_resumable,

@@ -26,6 +26,24 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Point JAX at a persistent on-disk compilation cache so repeated
+    CLI invocations (checkpoint-restart loops, eval sweeps) skip the
+    20-60s remote compiles of tunneled PJRT backends."""
+    import jax
+
+    cache = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/sph_nca_tpu/jax_cache"),
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jaxlibs without the persistent cache: run uncached
+
+
 def device_sync(x) -> None:
     """Force completion of a device computation.
 

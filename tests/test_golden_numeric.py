@@ -1,0 +1,139 @@
+"""Numeric golden parity vs the reference's math (VERDICT weak #7).
+
+The fixture (tests/golden/gecko_step_fixture.npz) was produced by
+tests/golden/make_fixture.py: a float64, dense-all-pairs, line-by-line
+transcription of the reference's CUDA kernels + torch forward
+(tests/golden/reference_forward.py, citations inline), evaluated with the
+reference's SHIPPED gecko weights. These tests assert every tier of this
+framework reproduces it to f32 tolerance — any drift in perception,
+volume, blur, mask, or update math fails here.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "golden", "gecko_step_fixture.npz")
+GECKO = "/root/reference/docs/weights/gecko.json"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(FIX) and os.path.exists(GECKO)),
+    reason="golden fixture or reference weights unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def fix():
+    return np.load(FIX)
+
+
+@pytest.fixture(scope="module")
+def model():
+    from sph_nca_tpu.io import load_weights_json
+
+    return load_weights_json(GECKO)
+
+
+def test_golden_volume_and_ops(fix):
+    """sphops-tier parity: volume, gradient, blur on the neighbor-list
+    engine vs the reference math."""
+    import jax.numpy as jnp
+
+    from sph_nca_tpu import ops
+    from sph_nca_tpu.ops.neighbor_ops import graph_blur, graph_gradient
+
+    x = jnp.asarray(fix["x"], jnp.float32)
+    h = float(fix["h"])
+    dims = ops.default_dims(h)
+    mpc, k = ops.suggest_capacity(np.asarray(x), h, dims)
+    g = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k)
+
+    np.testing.assert_allclose(
+        np.asarray(g.v), fix["v"], rtol=2e-5, atol=1e-8
+    )
+    gA = graph_gradient(g, jnp.asarray(fix["A0"], jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(gA), fix["gA"], rtol=2e-4, atol=2e-4
+    )
+    m = (fix["A0"][:, 3] > 0.1).astype(np.float32)[:, None]
+    sm = graph_blur(g, jnp.asarray(m))
+    ref_prev = fix["prev_mask"]
+    assert np.array_equal(np.asarray(sm[:, 0] > 0.1), ref_prev)
+
+
+def _step_graph(model, x, A, h, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from sph_nca_tpu import ops
+    from sph_nca_tpu.models import nca_step
+
+    dims = ops.default_dims(h)
+    mpc, k = ops.suggest_capacity(np.asarray(x), h, dims)
+    g = ops.build_graph(jnp.asarray(x, jnp.float32), h, dims,
+                        max_per_cell=mpc, k=k)
+    A = jnp.asarray(A, jnp.float32)
+    for _ in range(steps):
+        A = nca_step(model.params, model.cfg, g, A, jax.random.key(0), h,
+                     fire_rate=1.0)
+    return np.asarray(A)
+
+
+def _step_cells(model, x, A, h, steps, use_pallas):
+    import jax
+    import jax.numpy as jnp
+
+    from sph_nca_tpu.models.cell_step import nca_step_cells
+    from sph_nca_tpu.ops.cells import build_cell_engine
+
+    eng = build_cell_engine(jnp.asarray(x, jnp.float32), h)
+    S = eng.scatter(jnp.asarray(A, jnp.float32))
+    for _ in range(steps):
+        S = nca_step_cells(model.params, model.cfg, eng, S,
+                           jax.random.key(0), h, fire_rate=1.0,
+                           use_pallas=use_pallas)
+    return np.asarray(eng.gather_back(S))
+
+
+def test_golden_step_graph_engine(fix, model):
+    nA = _step_graph(model, fix["x"], fix["A0"], float(fix["h"]), 1)
+    np.testing.assert_allclose(nA, fix["nA1"], rtol=2e-4, atol=2e-5)
+    nA2 = _step_graph(model, fix["x"], fix["A0"], float(fix["h"]), 2)
+    np.testing.assert_allclose(nA2, fix["nA2"], rtol=5e-4, atol=5e-5)
+
+
+def test_golden_step_cell_engine(fix, model):
+    nA = _step_cells(model, fix["x"], fix["A0"], float(fix["h"]), 1,
+                     use_pallas=False)
+    np.testing.assert_allclose(nA, fix["nA1"], rtol=2e-4, atol=2e-5)
+
+
+def test_golden_step_cell_engine_pallas(fix, model):
+    """Fused Pallas pair kernels (interpret mode on CPU) match the
+    reference math too."""
+    nA = _step_cells(model, fix["x"], fix["A0"], float(fix["h"]), 1,
+                     use_pallas=True)
+    np.testing.assert_allclose(nA, fix["nA1"], rtol=5e-4, atol=5e-5)
+
+
+def test_golden_step_numpy_demo_engine(fix, model):
+    """The second (numpy) backend matches the reference math as well —
+    three independent implementations, one oracle."""
+    import json
+
+    from sph_nca_tpu.demo.engine import NumpyEngine
+
+    data = json.load(open(GECKO))
+    layers = sorted(data["layers"], key=lambda l: l["index"])
+    weights = {
+        "w1": np.asarray(layers[0]["weight"], np.float32).T,
+        "b1": np.asarray(layers[0]["bias"], np.float32),
+        "w2": np.asarray(layers[1]["weight"], np.float32).T,
+        "b2": np.asarray(layers[1]["bias"], np.float32),
+    }
+    eng = NumpyEngine(
+        np.asarray(fix["x"], np.float32), weights, h=float(fix["h"])
+    )
+    nA = eng.step(np.asarray(fix["A0"], np.float32), fire_rate=1.0)
+    np.testing.assert_allclose(nA, fix["nA1"], rtol=2e-4, atol=2e-5)
