@@ -60,12 +60,20 @@ def nca_step_cells(
     fire_rate: Optional[float] = None,
     perception_transform=None,
     use_pallas: bool = True,
+    mesh=None,
+    shards: int = 1,
 ) -> Array:
     """One NCA step in cell layout: S [C, M, F] -> [C, M, F].
 
     ``use_pallas`` routes perception + life-mask through the fused Pallas
     pair kernel (ops/pallas/pair_kernel.py); the XLA einsum formulation
     stays available as a reference path.
+
+    Multi-chip: pass ``mesh`` (a jax Mesh with a "particle" axis) and an
+    engine built with ``n_shards`` matching the axis size — the Pallas
+    kernels then run under shard_map with explicit window exchange
+    (parallel/cell_shard.py). ``shards`` (without ``mesh``) runs an
+    n_shards-built engine on a single device.
     """
     if fire_rate is None:
         fire_rate = cfg.fire_rate
@@ -75,9 +83,18 @@ def nca_step_cells(
     if use_pallas and perception_transform is None:
         # d-major fast path: the kernel's native [C, M, D*F] layout IS the
         # feature concat order (gA_x block then gA_y block) — no transpose
-        from ..ops.pallas.pair_kernel import perceive_cells_dmajor
+        if mesh is not None:
+            from ..parallel.cell_shard import perceive_cells_dmajor_sharded
 
-        gA_dm, pre_sm = perceive_cells_dmajor(eng, S, cfg.use_alpha)
+            gA_dm, pre_sm = perceive_cells_dmajor_sharded(
+                mesh, eng, S, cfg.use_alpha
+            )
+        else:
+            from ..ops.pallas.pair_kernel import perceive_cells_dmajor
+
+            gA_dm, pre_sm = perceive_cells_dmajor(
+                eng, S, cfg.use_alpha, shards
+            )
         prev_mask = pre_sm > ALIVE_THRESHOLD
         if cfg.normalize_perception > 0:
             gA_dm = h * gA_dm * cfg.normalize_perception
@@ -86,7 +103,7 @@ def nca_step_cells(
         if use_pallas:
             from ..ops.pallas.pair_kernel import perceive_cells
 
-            gA, pre_sm = perceive_cells(eng, S, cfg.use_alpha)
+            gA, pre_sm = perceive_cells(eng, S, cfg.use_alpha, shards)
             prev_mask = pre_sm > ALIVE_THRESHOLD
         else:
             Sw = eng.window(S)  # [C, WM, F] — the phase's one gather
@@ -113,10 +130,16 @@ def nca_step_cells(
     nS = jnp.where((u <= fire_rate)[..., None], nS, S)
 
     if use_pallas:
-        from ..ops.pallas.pair_kernel import mask_blur_pallas
+        if mesh is not None:
+            from ..parallel.cell_shard import mask_blur_sharded
 
-        new_sm = mask_blur_pallas(eng, jax.lax.stop_gradient(nS),
-                                  use_alpha=cfg.use_alpha)
+            new_sm = mask_blur_sharded(mesh, eng, jax.lax.stop_gradient(nS),
+                                       use_alpha=cfg.use_alpha)
+        else:
+            from ..ops.pallas.pair_kernel import mask_blur_pallas
+
+            new_sm = mask_blur_pallas(eng, jax.lax.stop_gradient(nS),
+                                      use_alpha=cfg.use_alpha, shards=shards)
         new_mask = new_sm > ALIVE_THRESHOLD
     else:
         nSw = eng.window(nS)
@@ -139,13 +162,16 @@ def rollout_cells(
     collect_steps: Optional[Array] = None,
     remat: bool = True,
     use_pallas: bool = True,
+    mesh=None,
+    shards: int = 1,
 ):
     """Scan rollout in cell layout; mirrors models/rollout.rollout."""
     from .rollout import RolloutOut
 
     def step_fn(S, k):
         return nca_step_cells(params, cfg, eng, S, k, h,
-                              fire_rate=fire_rate, use_pallas=use_pallas)
+                              fire_rate=fire_rate, use_pallas=use_pallas,
+                              mesh=mesh, shards=shards)
 
     if remat:
         step_fn = jax.checkpoint(step_fn)

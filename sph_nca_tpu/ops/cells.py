@@ -256,6 +256,7 @@ def build_cell_engine(
     smoothing: str = K.DEFAULT_SMOOTHING,
     gradient_kernel: str = K.DEFAULT_GRADIENT,
     cell_pad_multiple: int = 16,
+    n_shards: int = 1,
 ) -> CellEngine:
     """Build the engine for concrete positions (host-side, one-time).
 
@@ -267,7 +268,29 @@ def build_cell_engine(
     period_d / floor(period_d / h)  (>= h, so the 3^D stencil still covers
     the kernel support) and window copies of wrapped cells carry a
     whole-period world shift so displacements need no minimum-image.
+
+    ``n_shards`` > 1 lays the engine out for particle-axis sharding over
+    an ``n_shards``-way mesh: blocks are partitioned into ``n_shards``
+    contiguous Morton ranges and the window-size bucketing runs PER
+    SHARD with equal bucket sizes (cell order per shard =
+    [bucket-1 blocks | bucket-2 blocks]), so every per-cell and
+    per-block array divides the axis evenly and uniformly — the layout
+    jax.shard_map requires (parallel/cell_shard.py). Pass the shard
+    count to the sharded entry points (it is layout metadata, not a
+    device array, so it is not stored on the engine pytree).
     """
+    # The precomputed pair tables (_finalize) and the Pallas kernels
+    # (ops/pallas/pair_kernel.py) hard-wire the poly6 / spiky pair math —
+    # the only kernels any reference caller uses (nca.py never overrides
+    # kernels.py:6-7 defaults). Refuse other selections loudly instead of
+    # silently computing the wrong Tg/Tw; the graph and dense tiers
+    # support every kernel.
+    if smoothing != "poly6" or gradient_kernel != "spiky":
+        raise NotImplementedError(
+            f"CellEngine implements poly6/spiky only (got {smoothing!r}/"
+            f"{gradient_kernel!r}); use ops.build_graph for other kernels"
+        )
+
     x = np.asarray(x, np.float32)
     n, d = x.shape
 
@@ -378,6 +401,10 @@ def build_cell_engine(
     # (padding cells have empty windows and PAD_POS slots; there is NO
     # dummy row — padded window entries point at cell 0 but carry a
     # PAD_POS shift, which zeroes their pair weights)
+    n_shards = max(1, int(n_shards))
+    # C must also make nb = C/BG divide n_shards: C % (16 * n_shards) == 0
+    # suffices (BG = 8 -> nb multiple of 2 * n_shards).
+    cell_pad_multiple = max(int(cell_pad_multiple), 16 * n_shards)
     pad_mult = max(16, int(math.ceil(cell_pad_multiple / 16)) * 16)
     C_pad = int(math.ceil(C / pad_mult)) * pad_mult
     if C_pad != C:
@@ -428,8 +455,20 @@ def build_cell_engine(
     # can run the first ~75% of blocks with a tight window width and only
     # the tail with the max — the split is carried in the array SHAPES
     # (blk_* = small bucket, blk2_* = tail), keeping everything static.
+    #
+    # With n_shards > 1 the sort runs WITHIN each of the n_shards
+    # contiguous Morton block ranges and the split point is the same in
+    # every range, so bucket arrays and the state both shard evenly on
+    # dim 0 and each shard's local cell order is
+    # [its bucket-1 blocks | its bucket-2 blocks].
     sizes = np.asarray([len(u) for u in blk_unions])
-    border = np.argsort(sizes, kind="stable")
+    assert nb % n_shards == 0, (nb, n_shards)
+    nb_loc = nb // n_shards
+    border = np.concatenate([
+        s * nb_loc
+        + np.argsort(sizes[s * nb_loc : (s + 1) * nb_loc], kind="stable")
+        for s in range(n_shards)
+    ])
     old_cells = (border[:, None] * BG + np.arange(BG)).reshape(-1)
     newid = np.empty(C, np.int64)
     newid[old_cells] = np.arange(C)
@@ -447,12 +486,18 @@ def build_cell_engine(
     ]
     sizes = sizes[border]
 
-    # bucket split at ~p75 (both buckets non-empty unless sizes are flat)
-    nb1 = int(np.clip(round(0.75 * nb), 1, nb))
-    if sizes[nb1 - 1] == sizes[-1]:
-        nb1 = nb  # no tail to separate
-    Wu1 = max(1, int(sizes[:nb1].max()))
+    # per-shard bucket split at ~p75 (identical count in every shard)
+    sizes_sh = sizes.reshape(n_shards, nb_loc)
+    nb1_loc = int(np.clip(round(0.75 * nb_loc), 1, nb_loc))
+    if np.all(sizes_sh[:, nb1_loc - 1] == sizes_sh[:, -1]):
+        nb1_loc = nb_loc  # no tail to separate anywhere
+    nb1 = n_shards * nb1_loc
+    b1_mask = np.zeros(nb, bool)
+    b1_mask.reshape(n_shards, nb_loc)[:, :nb1_loc] = True
+    Wu1 = max(1, int(sizes[b1_mask].max()))
     Wu = max(1, int(sizes.max()))
+    if nb1 == nb:
+        Wu1 = Wu
 
     blk_win_cells = np.zeros((nb, Wu), np.int32)  # pad -> cell 0 ...
     blk_shift = np.full((nb, Wu, d), PAD_POS, np.float32)  # ... pushed out
@@ -468,17 +513,18 @@ def build_cell_engine(
         nb, BG * M, d
     ).transpose(0, 2, 1)  # [nb, D, P]
 
-    def bucket_arrays(b0, b1, wu):
-        wc = np.ascontiguousarray(blk_win_cells[b0:b1, :wu])
+    def bucket_arrays(idx, wu):
+        wc = np.ascontiguousarray(blk_win_cells[idx, :wu])
         bxw = (
-            blk_xw_full[b0:b1, :wu]
-            .reshape(b1 - b0, wu * M, d)
+            blk_xw_full[idx, :wu]
+            .reshape(len(idx), wu * M, d)
             .transpose(0, 2, 1)
         )
-        return wc, np.ascontiguousarray(bxw), blk_xs_full[b0:b1]
+        return wc, np.ascontiguousarray(bxw), blk_xs_full[idx]
 
-    win1, xw1, xs1 = bucket_arrays(0, nb1, Wu1)
-    win2, xw2, xs2 = bucket_arrays(nb1, nb, Wu)
+    # rows are shard-major: [shard0's bucket blocks, shard1's, ...]
+    win1, xw1, xs1 = bucket_arrays(np.where(b1_mask)[0], Wu1)
+    win2, xw2, xs2 = bucket_arrays(np.where(~b1_mask)[0], Wu)
 
     sig_w = K.get_smoothing_kernel(smoothing).norm(h, d)
     sig_g = K.get_gradient_kernel(gradient_kernel).norm(h, d)

@@ -126,33 +126,86 @@ def _fwd_kernel(
     ga_ref[:] = jnp.concatenate(out, axis=-1)
 
 
-def _buckets(eng: CellEngine):
-    """Iterate the non-empty block buckets as
-    (row_slice, xs_b, win_b, xw_b, vw_b)."""
-    p = eng.blk_xs.shape[2]
-    out = []
-    nb1 = eng.blk_xs.shape[0]
-    if nb1:
-        out.append((0, nb1, eng.blk_xs, eng.blk_win_cells, eng.blk_xw,
-                    eng.blk_vw))
-    nb2 = eng.blk2_xs.shape[0]
-    if nb2:
-        out.append((nb1, nb1 + nb2, eng.blk2_xs, eng.blk2_win_cells,
-                    eng.blk2_xw, eng.blk2_vw))
-    return out
+def window_from_flat(flat: Array, win_cells: Array, m: int) -> Array:
+    """flat [C, M*F] -> union-window rows [nb, Wu*M, F] (one
+    cell-granularity gather)."""
+    nb, wu = win_cells.shape
+    return flat[win_cells].reshape(nb, wu * m, -1)
 
 
 def _bucket_window(eng: CellEngine, S: Array, win_cells: Array) -> Array:
     c, m = eng.num_cells, eng.slots_per_cell
-    F = S.shape[-1]
-    nb, wu = win_cells.shape
-    return S.reshape(c, m * F)[win_cells].reshape(nb, wu * m, F)
+    return window_from_flat(S.reshape(c, -1), win_cells, m)
 
 
-@functools.partial(jax.jit, static_argnames=("use_alpha", "d_major"))
+def split_rows(arr: Array, shards: int, nb1: int):
+    """Block-major rows laid out shard-major [b1 | b2] per shard
+    (ops/cells.py bucketing) -> (bucket-1 rows, bucket-2 rows), each
+    shard-major. For shards == 1 this is plain slicing."""
+    nb = arr.shape[0]
+    if shards == 1:
+        return arr[:nb1], arr[nb1:]
+    nb_loc, nb1_loc = nb // shards, nb1 // shards
+    a = arr.reshape((shards, nb_loc) + arr.shape[1:])
+    r1 = a[:, :nb1_loc].reshape((nb1,) + arr.shape[1:])
+    r2 = a[:, nb1_loc:].reshape((nb - nb1,) + arr.shape[1:])
+    return r1, r2
+
+
+def merge_rows(r1: Array, r2: Array, shards: int) -> Array:
+    """Inverse of split_rows."""
+    if r2.shape[0] == 0:
+        return r1
+    if shards == 1:
+        return jnp.concatenate([r1, r2], axis=0)
+    n1, n2 = r1.shape[0] // shards, r2.shape[0] // shards
+    out = jnp.concatenate(
+        [r1.reshape((shards, n1) + r1.shape[1:]),
+         r2.reshape((shards, n2) + r2.shape[1:])],
+        axis=1,
+    )
+    return out.reshape((r1.shape[0] + r2.shape[0],) + r1.shape[1:])
+
+
+def fwd_bucket(scal, xs_b, ab, xw_b, vw_b, Sw, *, use_alpha: bool):
+    """One pallas_call of the fused forward over one block bucket.
+    xs_b [nb,D,P], ab [nb,P,F], xw_b [nb,D,W], vw_b [nb,W], Sw [nb,W,F]
+    -> (ga [nb,P,F*D] d-major, sm [nb,1,P])."""
+    nb, ddim, p = xs_b.shape
+    w = xw_b.shape[2]
+    f = ab.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, use_alpha=use_alpha),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, p, f * ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, p, f * ddim), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, p), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(scal, xs_b, ab, xw_b, vw_b[:, None, :], Sw)
+
+
+def scal_vec(eng: CellEngine) -> Array:
+    return jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
+
+
+@functools.partial(jax.jit, static_argnames=("use_alpha", "d_major",
+                                              "shards"))
 def fused_perception_pallas(
     eng: CellEngine, S: Array, *, use_alpha: bool = True,
-    d_major: bool = False,
+    d_major: bool = False, shards: int = 1,
 ) -> Tuple[Array, Array]:
     """Fused SPH gradient + life-mask smoothing.
 
@@ -163,45 +216,30 @@ def fused_perception_pallas(
     ``sm`` is the smoothed alive indicator (pre-threshold); the model
     treats it as stop-gradient (nca.py:76). Runs once per window-size
     bucket (tight width for most blocks, max width for the tail).
+
+    ``shards`` must match the ``n_shards`` the engine was built with
+    (bucket rows are laid out shard-major; see ops/cells.py).
     """
     c, m, f = S.shape
     ddim = eng.xs.shape[-1]
     p = eng.blk_xs.shape[2]  # BG*M
-    scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
-    ab_all = S.reshape(-1, p, f)
+    scal = scal_vec(eng)
+    nb1 = eng.blk_xs.shape[0]
+    ab1, ab2 = split_rows(S.reshape(-1, p, f), shards, nb1)
 
-    gas, sms = [], []
-    for b0, b1, xs_b, win_b, xw_b, vw_b in _buckets(eng):
-        nb = b1 - b0
-        w = xw_b.shape[2]
-        Sw = _bucket_window(eng, S, win_b)
-        ga, sm = pl.pallas_call(
-            functools.partial(_fwd_kernel, use_alpha=use_alpha),
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, p, f), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((None, p, f * ddim), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((nb, p, f * ddim), jnp.float32),
-                jax.ShapeDtypeStruct((nb, 1, p), jnp.float32),
-            ],
-            interpret=_interpret(),
-        )(scal, xs_b, ab_all[b0:b1], xw_b, vw_b[:, None, :], Sw)
-        gas.append(ga)
-        sms.append(sm)
+    Sw1 = _bucket_window(eng, S, eng.blk_win_cells)
+    ga1, sm1 = fwd_bucket(scal, eng.blk_xs, ab1, eng.blk_xw, eng.blk_vw,
+                          Sw1, use_alpha=use_alpha)
+    if eng.blk2_xs.shape[0]:
+        Sw2 = _bucket_window(eng, S, eng.blk2_win_cells)
+        ga2, sm2 = fwd_bucket(scal, eng.blk2_xs, ab2, eng.blk2_xw,
+                              eng.blk2_vw, Sw2, use_alpha=use_alpha)
+    else:
+        ga2 = jnp.zeros((0, p, f * ddim), jnp.float32)
+        sm2 = jnp.zeros((0, 1, p), jnp.float32)
 
-    ga = jnp.concatenate(gas, axis=0) if len(gas) > 1 else gas[0]
-    sm = jnp.concatenate(sms, axis=0) if len(sms) > 1 else sms[0]
-    sm = sm.reshape(c, m)
+    ga = merge_rows(ga1, ga2, shards)
+    sm = merge_rows(sm1, sm2, shards).reshape(c, m)
     if d_major:
         return ga.reshape(c, m, ddim * f), sm
     # [nb, p, D*F] -> [C, M, F, D]
@@ -259,9 +297,33 @@ def _bwd_kernel(
     da_ref[:] = term1 - t2
 
 
-@jax.jit
+def bwd_bucket(scal, xs_b, vs_b, gsum_b, gb_b, xw_b, gw):
+    """One pallas_call of the gradient adjoint over one block bucket."""
+    nb, ddim, p = xs_b.shape
+    w = xw_b.shape[2]
+    f = gb_b.shape[-1] // ddim
+    (da,) = pl.pallas_call(
+        _bwd_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((nb, p, f), jnp.float32)],
+        interpret=_interpret(),
+    )(scal, xs_b, vs_b, gsum_b, gb_b, xw_b, gw)
+    return da
+
+
+@functools.partial(jax.jit, static_argnames=("shards",))
 def gradient_adjoint_dmajor_pallas(
-    eng: CellEngine, gsum: Array, gflat: Array
+    eng: CellEngine, gsum: Array, gflat: Array, shards: int = 1
 ) -> Array:
     """dL/dS of the SPH gradient with the cotangent d-major [C, M, D*F].
 
@@ -275,48 +337,30 @@ def gradient_adjoint_dmajor_pallas(
     f = fd // ddim
     p = eng.blk_xs.shape[2]
 
-    scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
-    gflat_all = gflat.reshape(-1, p, fd)
-    vs_all = eng.vs.reshape(-1, 1, p)
-    gsum_all = gsum.reshape(-1, p, ddim)
+    scal = scal_vec(eng)
+    nb1 = eng.blk_xs.shape[0]
+    gb1, gb2 = split_rows(gflat.reshape(-1, p, fd), shards, nb1)
+    vs1, vs2 = split_rows(eng.vs.reshape(-1, 1, p), shards, nb1)
+    gs1, gs2 = split_rows(gsum.reshape(-1, p, ddim), shards, nb1)
 
-    das = []
-    for b0, b1, xs_b, win_b, xw_b, vw_b in _buckets(eng):
-        nb = b1 - b0
-        w = xw_b.shape[2]
-        gw = _bucket_window(eng, gflat, win_b)
-        (da,) = pl.pallas_call(
-            _bwd_kernel,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
-            ],
-            out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
-            out_shape=[jax.ShapeDtypeStruct((nb, p, f), jnp.float32)],
-            interpret=_interpret(),
-        )(
-            scal, xs_b, vs_all[b0:b1], gsum_all[b0:b1],
-            gflat_all[b0:b1], xw_b, gw,
-        )
-        das.append(da)
-    da = jnp.concatenate(das, axis=0) if len(das) > 1 else das[0]
-    return da.reshape(c, m, f)
+    gw1 = _bucket_window(eng, gflat, eng.blk_win_cells)
+    da1 = bwd_bucket(scal, eng.blk_xs, vs1, gs1, gb1, eng.blk_xw, gw1)
+    if eng.blk2_xs.shape[0]:
+        gw2 = _bucket_window(eng, gflat, eng.blk2_win_cells)
+        da2 = bwd_bucket(scal, eng.blk2_xs, vs2, gs2, gb2, eng.blk2_xw, gw2)
+    else:
+        da2 = jnp.zeros((0, p, f), jnp.float32)
+    return merge_rows(da1, da2, shards).reshape(c, m, f)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("shards",))
 def gradient_adjoint_pallas(
-    eng: CellEngine, gsum: Array, gbar: Array
+    eng: CellEngine, gsum: Array, gbar: Array, shards: int = 1
 ) -> Array:
     """dL/dS of the SPH gradient: gbar [C, M, F, D] -> [C, M, F]."""
     c, m, f, ddim = gbar.shape
     gflat = gbar.transpose(0, 1, 3, 2).reshape(c, m, ddim * f)
-    return gradient_adjoint_dmajor_pallas(eng, gsum, gflat)
+    return gradient_adjoint_dmajor_pallas(eng, gsum, gflat, shards)
 
 
 # ---------------------------------------------------------------------------
@@ -324,46 +368,50 @@ def gradient_adjoint_pallas(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def perceive_cells(eng: CellEngine, S: Array, use_alpha: bool = True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def perceive_cells(eng: CellEngine, S: Array, use_alpha: bool = True,
+                   shards: int = 1):
     """(gA [C,M,F,D], mask_smooth): differentiable w.r.t. S through gA
     only (mask_smooth is stop-gradient by construction, nca.py:76)."""
-    ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha)
+    ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha,
+                                     shards=shards)
     return ga, jax.lax.stop_gradient(sm)
 
 
-def _perceive_fwd(eng, S, use_alpha):
-    ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha)
+def _perceive_fwd(eng, S, use_alpha, shards):
+    ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha,
+                                     shards=shards)
     return (ga, jax.lax.stop_gradient(sm)), eng
 
 
-def _perceive_bwd(use_alpha, eng, cots):
+def _perceive_bwd(use_alpha, shards, eng, cots):
     gbar, _ = cots  # mask cotangent discarded (stop-gradient)
-    da = gradient_adjoint_pallas(eng, eng.gsum, gbar)
+    da = gradient_adjoint_pallas(eng, eng.gsum, gbar, shards)
     return (None, da)
 
 
 perceive_cells.defvjp(_perceive_fwd, _perceive_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def perceive_cells_dmajor(eng: CellEngine, S: Array, use_alpha: bool = True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def perceive_cells_dmajor(eng: CellEngine, S: Array, use_alpha: bool = True,
+                          shards: int = 1):
     """Like perceive_cells but gA stays in the kernel-native d-major
     [C, M, D*F] layout (no transpose in fwd or bwd)."""
     ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha,
-                                     d_major=True)
+                                     d_major=True, shards=shards)
     return ga, jax.lax.stop_gradient(sm)
 
 
-def _perceive_dm_fwd(eng, S, use_alpha):
+def _perceive_dm_fwd(eng, S, use_alpha, shards):
     ga, sm = fused_perception_pallas(eng, S, use_alpha=use_alpha,
-                                     d_major=True)
+                                     d_major=True, shards=shards)
     return (ga, jax.lax.stop_gradient(sm)), eng
 
 
-def _perceive_dm_bwd(use_alpha, eng, cots):
+def _perceive_dm_bwd(use_alpha, shards, eng, cots):
     gbar, _ = cots  # [C, M, D*F] d-major — the adjoint's native layout
-    da = gradient_adjoint_dmajor_pallas(eng, eng.gsum, gbar)
+    da = gradient_adjoint_dmajor_pallas(eng, eng.gsum, gbar, shards)
     return (None, da)
 
 
@@ -390,43 +438,51 @@ def _mask_kernel(
     sm_ref[:] = jnp.sum(Tw * aw_ref[:], axis=-1)[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("use_alpha",))
+def mask_bucket(scal, xs_b, xw_b, vw_b, aw):
+    """One pallas_call of the life-mask blur over one block bucket."""
+    nb, ddim, p = xs_b.shape
+    w = xw_b.shape[2]
+    (sm,) = pl.pallas_call(
+        _mask_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((nb, 1, p), jnp.float32)],
+        interpret=_interpret(),
+    )(scal, xs_b, xw_b, vw_b[:, None, :], aw[:, None, :])
+    return sm
+
+
+@functools.partial(jax.jit, static_argnames=("use_alpha", "shards"))
 def mask_blur_pallas(
-    eng: CellEngine, S: Array, *, use_alpha: bool = True
+    eng: CellEngine, S: Array, *, use_alpha: bool = True, shards: int = 1
 ) -> Array:
     """Life-mask smoothing only: S [C, M, F] -> sm [C, M]."""
     c, m, f = S.shape
-    ddim = eng.xs.shape[-1]
-    p = eng.blk_xs.shape[2]
 
     act = None
     if use_alpha:
         act = (S[..., 3] > 0.1).astype(jnp.float32)[..., None]  # [C, M, 1]
 
-    scal = jnp.stack([eng.h, eng.sig_w, eng.sig_g, jnp.float32(0.1)])
+    scal = scal_vec(eng)
 
-    sms = []
-    for b0, b1, xs_b, win_b, xw_b, vw_b in _buckets(eng):
-        nb = b1 - b0
-        w = xw_b.shape[2]
+    def bucket(xs_b, win_b, xw_b, vw_b):
         if use_alpha:
             aw = _bucket_window(eng, act, win_b)[..., 0]
         else:
             aw = (vw_b > 0.0).astype(jnp.float32)
-        (sm,) = pl.pallas_call(
-            _mask_kernel,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
-                pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
-            ],
-            out_specs=[pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0))],
-            out_shape=[jax.ShapeDtypeStruct((nb, 1, p), jnp.float32)],
-            interpret=_interpret(),
-        )(scal, xs_b, xw_b, vw_b[:, None, :], aw[:, None, :])
-        sms.append(sm)
-    sm = jnp.concatenate(sms, axis=0) if len(sms) > 1 else sms[0]
-    return sm.reshape(c, m)
+        return mask_bucket(scal, xs_b, xw_b, vw_b, aw)
+
+    sm1 = bucket(eng.blk_xs, eng.blk_win_cells, eng.blk_xw, eng.blk_vw)
+    if eng.blk2_xs.shape[0]:
+        sm2 = bucket(eng.blk2_xs, eng.blk2_win_cells, eng.blk2_xw,
+                     eng.blk2_vw)
+    else:
+        sm2 = jnp.zeros((0,) + sm1.shape[1:], jnp.float32)
+    return merge_rows(sm1, sm2, shards).reshape(c, m)

@@ -13,12 +13,15 @@ from .mesh import (
     shard_cell_engine,
     shard_graph,
 )
+from .cell_shard import mask_blur_sharded, perceive_cells_dmajor_sharded
 from .shard import ShardedTrainStep, dryrun_train_step, make_sharded_train_step
 
 __all__ = [
     "DATA_AXIS",
     "PARTICLE_AXIS",
     "ShardedTrainStep",
+    "mask_blur_sharded",
+    "perceive_cells_dmajor_sharded",
     "batch_state_spec",
     "dryrun_train_step",
     "factorize",

@@ -98,13 +98,14 @@ def replicate(tree, mesh: Mesh):
 def shard_cell_engine(eng, mesh: Mesh, batch_scatter=None):
     """Place a CellEngine with cells/blocks sharded over the particle axis.
 
-    Build the engine with ``cell_pad_multiple=16 * mesh.shape['particle']``
-    so both the cell dim (C) and the block dim (nb) divide the axis. Every
-    per-cell / per-block array shards on dim 0; cross-shard window reads
-    lower to XLA gathers + collectives over ICI.
+    Build the engine with ``build_cell_engine(..., n_shards=
+    mesh.shape['particle'])`` — that pads the cell dim AND lays the block
+    buckets out shard-major with equal per-shard counts, so every
+    per-cell / per-block array shards evenly on dim 0 (required by the
+    shard_map fast path, parallel/cell_shard.py; the XLA path's
+    cross-shard window reads lower to GSPMD gathers + collectives).
     """
     s = NamedSharding(mesh, P(PARTICLE_AXIS))
-    rep = NamedSharding(mesh, P())
     axis = mesh.shape[PARTICLE_AXIS]
     sharded = {}
     for n in (
@@ -113,9 +114,11 @@ def shard_cell_engine(eng, mesh: Mesh, batch_scatter=None):
         "blk2_xs", "blk2_win_cells", "blk2_xw", "blk2_vw",
     ):
         a = getattr(eng, n)
-        # block buckets have data-dependent sizes; replicate the ones that
-        # do not divide the axis (they are only read, never reduced over)
-        sharded[n] = jax.device_put(
-            a, s if a.shape[0] % axis == 0 and a.shape[0] else rep
-        )
+        if a.shape[0] % axis:
+            raise ValueError(
+                f"CellEngine.{n} (dim0={a.shape[0]}) does not divide the "
+                f"{axis}-way particle axis; build the engine with "
+                f"n_shards={axis}"
+            )
+        sharded[n] = jax.device_put(a, s)
     return eng._replace(**sharded)

@@ -81,40 +81,136 @@ def test_sharded_rollout_matches_unsharded():
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-@needs_8
-def test_sharded_cell_engine_rollout_matches():
-    """Cell-dense engine sharded over the particle axis (GSPMD) must be
-    semantics-preserving."""
-    import jax.numpy as jnp
-
+def _cell_fixture(npart):
     from sph_nca_tpu.models import SPHNCAConfig, init_params
-    from sph_nca_tpu.models.cell_step import rollout_cells
     from sph_nca_tpu.ops.cells import build_cell_engine
-    from sph_nca_tpu.parallel import shard_cell_engine
     from sph_nca_tpu.utils.geometry import grange
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     m, h = 24, 0.2
     x = grange((m, m), jnp.asarray([-1.0, -1.0]), jnp.asarray([2.0, 2.0]))
     x = x.reshape(-1, 2)
-    mesh = make_mesh(data=1)
-    npart = mesh.shape["particle"]
-    eng = build_cell_engine(x, h, cell_pad_multiple=16 * npart)
+    eng = build_cell_engine(x, h, n_shards=npart)
     ref_eng = build_cell_engine(x, h)
     cfg = SPHNCAConfig(channels=8, hidden=16)
-    params = jax.jit(lambda k: __import__("sph_nca_tpu").models.init_params(k, cfg))(jax.random.key(0))
+    params = init_params(jax.random.key(0), cfg)
     A = jax.random.uniform(jax.random.key(1), (x.shape[0], 8))
+    return h, eng, ref_eng, cfg, params, A
+
+
+@needs_8
+def test_sharded_cell_engine_rollout_matches():
+    """Cell-dense engine sharded over the particle axis (XLA/GSPMD path)
+    must be semantics-preserving. fire_rate=1 so the per-slot RNG draws
+    are layout-independent."""
+    from sph_nca_tpu.models.cell_step import rollout_cells
+    from sph_nca_tpu.parallel import shard_cell_engine
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1)
+    h, eng, ref_eng, cfg, params, A = _cell_fixture(mesh.shape["particle"])
     ref = ref_eng.gather_back(
         rollout_cells(params, cfg, ref_eng, ref_eng.scatter(A),
-                      jax.random.key(2), 3, h, use_pallas=False).final
+                      jax.random.key(2), 3, h, use_pallas=False,
+                      fire_rate=1.0).final
     )
     eng_s = shard_cell_engine(eng, mesh)
     S0 = jax.device_put(eng.scatter(A), NamedSharding(mesh, P("particle")))
     with mesh:
         out = jax.jit(
             lambda p, e, S: rollout_cells(
-                p, cfg, e, S, jax.random.key(2), 3, h, use_pallas=False
+                p, cfg, e, S, jax.random.key(2), 3, h, use_pallas=False,
+                fire_rate=1.0,
             ).final
         )(params, eng_s, S0)
     got = eng.gather_back(out)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@needs_8
+def test_sharded_pallas_rollout_matches():
+    """THE fast path multi-chip: fused Pallas pair kernels under
+    shard_map (interpret mode on the CPU mesh) must match the unsharded
+    XLA formulation, forward and backward."""
+    from sph_nca_tpu.models.cell_step import rollout_cells
+    from sph_nca_tpu.parallel import shard_cell_engine
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1)
+    h, eng, ref_eng, cfg, params, A = _cell_fixture(mesh.shape["particle"])
+
+    npart = mesh.shape["particle"]
+
+    def xla_loss(p):
+        out = rollout_cells(p, cfg, ref_eng, ref_eng.scatter(A),
+                            jax.random.key(2), 3, h, use_pallas=False,
+                            fire_rate=1.0).final
+        return jnp.sum(ref_eng.gather_back(out) ** 2), out
+
+    def unsharded_loss(p):  # same pallas math, one device
+        out = rollout_cells(p, cfg, eng, eng.scatter(A),
+                            jax.random.key(2), 3, h, use_pallas=True,
+                            shards=npart, fire_rate=1.0).final
+        return jnp.sum(eng.gather_back(out) ** 2), out
+
+    eng_s = shard_cell_engine(eng, mesh)
+    S0 = jax.device_put(eng.scatter(A), NamedSharding(mesh, P("particle")))
+
+    def sh_loss(p):
+        out = rollout_cells(p, cfg, eng_s, S0, jax.random.key(2), 3, h,
+                            use_pallas=True, mesh=mesh,
+                            fire_rate=1.0).final
+        return jnp.sum(eng.gather_back(out) ** 2), out
+
+    (lx, out_x), _ = jax.value_and_grad(xla_loss, has_aux=True)(params)
+    (lu, out_u), gu = jax.value_and_grad(unsharded_loss, has_aux=True)(params)
+    (ls, out_s), gs = jax.value_and_grad(sh_loss, has_aux=True)(params)
+
+    # forward: sharded pallas == unsharded pallas == XLA formulation
+    ref = np.asarray(ref_eng.gather_back(out_x))
+    got = np.asarray(eng.gather_back(out_s))
+    assert np.allclose(got, ref, atol=1e-5)
+    assert np.isclose(float(ls), float(lx), rtol=1e-5)
+
+    # backward: sharding must be bit-for-math identical to the unsharded
+    # pallas path. (Pallas-vs-XLA grads are compared only at 1 step in
+    # test_pallas.py — multi-step BPTT amplifies f32 threshold flips of
+    # the discrete living mask into O(1) grad differences between any two
+    # float orderings; that is trajectory chaos, not an adjoint bug.)
+    assert np.isclose(float(ls), float(lu), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+@needs_8
+def test_sharded_perception_adjoint_matches():
+    """Sharded custom_vjp adjoint == unsharded pallas == XLA autodiff."""
+    from sph_nca_tpu.ops.pallas.pair_kernel import perceive_cells_dmajor
+    from sph_nca_tpu.parallel import (
+        perceive_cells_dmajor_sharded,
+        shard_cell_engine,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1)
+    h, eng, ref_eng, cfg, params, A = _cell_fixture(mesh.shape["particle"])
+    eng_s = shard_cell_engine(eng, mesh)
+    S0 = jax.device_put(eng.scatter(A), NamedSharding(mesh, P("particle")))
+    Wc = eng.scatter(
+        jax.random.normal(jax.random.key(5), (A.shape[0], 2 * A.shape[1]))
+    )
+
+    def sh(S):
+        ga, _ = perceive_cells_dmajor_sharded(mesh, eng_s, S, True)
+        return jnp.sum(ga * Wc)
+
+    def unsh(S):
+        ga, _ = perceive_cells_dmajor(eng, S, True, mesh.shape["particle"])
+        return jnp.sum(ga * Wc)
+
+    g_sh = eng.gather_back(jax.grad(sh)(S0))
+    g_un = eng.gather_back(jax.grad(unsh)(eng.scatter(A)))
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_un), rtol=1e-5, atol=1e-6
+    )

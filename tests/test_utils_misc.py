@@ -38,7 +38,9 @@ def test_step_timer():
             time.sleep(0.01)
     s = t.summary()
     assert s["steps"] == 3
-    assert 5 < s["mean_ms"] < 100
+    # lower bound only: sleep guarantees >= 10ms, but a loaded shared CPU
+    # can stretch wall time arbitrarily
+    assert s["mean_ms"] > 5
     assert s["particle_steps_per_sec"] > 0
 
 
