@@ -147,6 +147,12 @@ class CellEngine(NamedTuple):
         in the per-step hot path. Padded window entries read cell 0, whose
         values never contribute (their positions sit at PAD_POS).
         """
+        if self.win_cells.shape[1] == 0:
+            raise ValueError(
+                "engine was built with xla_tables=False (no per-cell "
+                "window tables); use the Pallas path or rebuild with "
+                "xla_tables=True"
+            )
         c, m = self.num_cells, self.slots_per_cell
         F = S.shape[-1]
         return S.reshape(c, m * F)[self.win_cells].reshape(
@@ -257,6 +263,7 @@ def build_cell_engine(
     gradient_kernel: str = K.DEFAULT_GRADIENT,
     cell_pad_multiple: int = 16,
     n_shards: int = 1,
+    xla_tables: bool = True,
 ) -> CellEngine:
     """Build the engine for concrete positions (host-side, one-time).
 
@@ -278,6 +285,13 @@ def build_cell_engine(
     jax.shard_map requires (parallel/cell_shard.py). Pass the shard
     count to the sharded entry points (it is layout metadata, not a
     device array, so it is not stored on the engine pytree).
+
+    ``xla_tables=False`` skips the per-cell window structures
+    (win_cells/xw/vw/Tw/Tg — the XLA einsum path's tables, O(C*M*W)
+    memory and the dominant build cost); volumes and the adjoint self
+    term are then computed from the block structures in chunked passes.
+    Use it for large N with the Pallas path (the XLA formulation raises
+    if invoked on such an engine).
     """
     # The precomputed pair tables (_finalize) and the Pallas kernels
     # (ops/pallas/pair_kernel.py) hard-wire the poly6 / spiky pair math —
@@ -290,6 +304,18 @@ def build_cell_engine(
             f"CellEngine implements poly6/spiky only (got {smoothing!r}/"
             f"{gradient_kernel!r}); use ops.build_graph for other kernels"
         )
+
+    import os
+    import time as _time
+
+    _prof = bool(os.environ.get("SPH_NCA_BUILD_PROFILE"))
+    _t = [_time.time()]
+
+    def _tick(stage: str) -> None:
+        if _prof:
+            now = _time.time()
+            print(f"  build[{stage}]: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
 
     x = np.asarray(x, np.float32)
     n, d = x.shape
@@ -305,6 +331,7 @@ def build_cell_engine(
         cell_size = np.full(d, float(h), np.float64)
 
     fl = np.floor(x.astype(np.float64) / cell_size).astype(np.int64)  # [N,D]
+    _tick("floor")
     if per is not None:
         # canonical floor within one period (positions may sit outside
         # [0, period) — wrap them into the canonical tile)
@@ -327,6 +354,8 @@ def build_cell_engine(
     newid = np.empty(n_geo, np.int64)
     newid[perm] = np.arange(n_geo)
     inv = newid[inv]
+    _tick("unique+morton")
+
 
     # SUBCELL SPLIT: cap slots per row-group at M (default 8) and split
     # fatter geometric cells into several subcells sharing the same floor
@@ -339,17 +368,17 @@ def build_cell_engine(
     C = int(sub_start[-1])
     # subcell -> geometric cell
     geo_of_sub = np.repeat(np.arange(n_geo), n_sub)
-    # occ becomes per-subcell floor coords
+    # occ becomes per-subcell floor coords (occ_geo keeps one row per
+    # geometric cell for the window lookup below)
+    occ_geo = occ
     occ = occ[geo_of_sub]
 
     # slot assignment: within a geometric cell, particle k goes to
     # subcell k // M, slot k % M
     order = np.argsort(inv, kind="stable")
+    cell_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     slot_in_cell = np.zeros(n, np.int64)
-    start = 0
-    for c_idx, cnt in enumerate(counts):
-        slot_in_cell[order[start : start + cnt]] = np.arange(cnt)
-        start += cnt
+    slot_in_cell[order] = np.arange(n) - np.repeat(cell_starts, counts)
     sub_of_particle = sub_start[inv] + slot_in_cell // M
     slot_of_particle = sub_of_particle * M + slot_in_cell % M
     inv = sub_of_particle  # particles' owning SUBCELL id
@@ -366,35 +395,52 @@ def build_cell_engine(
         x_canon = x.astype(np.float64)
     x_local = (x_canon - origins[inv]).astype(np.float32)
     xs.reshape(-1, d)[slot_of_particle] = x_local
+    _tick("slots+xs")
 
-    # floor coords -> list of subcell ids
-    cell_to_ids: dict = {}
-    for i, c in enumerate(occ):
-        cell_to_ids.setdefault(tuple(c), []).append(i)
-
+    # ---- window construction (vectorized; scales to 1e7 subcells) -------
+    # lookup: geometric floor -> its contiguous subcell range
+    # [sub_start[g], sub_start[g] + n_sub[g]). Floors are raveled to
+    # scalar keys over the occupied bounding box and resolved with one
+    # searchsorted — replaces the reference's per-point modulo hash probe
+    # (hashgrid/single_impl.py:34-60) and the round-1 Python dict loops.
     offsets = _stencil_offsets(d)  # [S, D]
-    win_lists: list = []
-    shift_lists: list = []
-    for c_idx in range(C):
-        cells = []
-        shifts = []
-        for off in offsets:
-            t = occ[c_idx] + off  # true target floor
-            if per is not None:
-                t_canon = np.mod(t, ncell)
-                wrap = ((t - t_canon) // ncell).astype(np.float64) * per
-            else:
-                t_canon = t
-                wrap = np.zeros(d)
-            for j in cell_to_ids.get(tuple(t_canon), ()):
-                cells.append(j)
-                # total shift converts subcell j's LOCAL coordinates into
-                # the query cell's frame: + origin_j + wrap - origin_c
-                shifts.append(
-                    (origins[j] + wrap - origins[c_idx]).astype(np.float32)
-                )
-        win_lists.append(cells)
-        shift_lists.append(shifts)
+    n_off = len(offsets)
+    fmin = occ_geo.min(axis=0)
+    span = occ_geo.max(axis=0) - fmin + 1
+    strides = np.cumprod(np.concatenate([[1], span[::-1][:-1]]))[::-1]
+    key_order = np.argsort(occ_geo @ strides, kind="stable")
+    keys_sorted = (occ_geo @ strides)[key_order] - fmin @ strides
+
+    T = occ[:, None, :] + offsets[None, :, :]  # [C, n_off, D] true floors
+    if per is not None:
+        t_canon = np.mod(T, ncell)
+        wrap_f = ((T - t_canon) // ncell).astype(np.float64) * per
+    else:
+        t_canon = T
+        wrap_f = np.zeros(T.shape, np.float64)
+    in_range = np.all(
+        (t_canon >= fmin) & (t_canon < fmin + span), axis=-1
+    )
+    q_key = (t_canon - fmin) @ strides  # aliases out of range: mask below
+    pos = np.minimum(
+        np.searchsorted(keys_sorted, q_key), len(keys_sorted) - 1
+    )
+    found = in_range & (keys_sorted[pos] == q_key)
+    g = np.where(found, key_order[pos], 0)  # geo cell per (subcell, off)
+    cnt = np.where(found, n_sub[g], 0).ravel()  # subcells contributed
+
+    # expand each stencil hit into its subcell range, preserving
+    # (query subcell, offset, target subcell) order
+    E = int(cnt.sum())
+    ent_rows = np.repeat(np.arange(C * n_off), cnt)
+    ent_c = ent_rows // n_off
+    grp_start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    ent_j = (
+        sub_start[g.ravel()[ent_rows]]
+        + (np.arange(E) - np.repeat(grp_start, cnt))
+    )
+    wcnt = np.bincount(ent_c, minlength=C)  # window size per subcell
+    _tick("windows")
 
     # pad the cell count to a multiple of 16 so kernel grids can block
     # cells regularly and every array shards evenly over a device mesh
@@ -413,40 +459,67 @@ def build_cell_engine(
              xs[C:]]  # keep a trailing scratch row for xs[win] below
         )
 
-    Wc = max(len(c) for c in win_lists)
-    if max_window_cells is not None:
-        Wc = max(Wc, int(max_window_cells))
+    if xla_tables:
+        Wc = int(wcnt.max())
+        if max_window_cells is not None:
+            Wc = max(Wc, int(max_window_cells))
+    else:
+        Wc = 0  # no per-cell tables: O(C*M*W) memory + top build cost
     win_cells = np.zeros((C_pad, Wc), np.int32)  # pad -> cell 0 ...
     win_shift = np.full((C_pad, Wc, d), PAD_POS, np.float32)  # ... pushed out
-    for c_idx, (cells, shifts) in enumerate(zip(win_lists, shift_lists)):
-        win_cells[c_idx, : len(cells)] = cells
-        if len(cells):
-            win_shift[c_idx, : len(cells)] = np.stack(shifts)
+    if Wc:
+        # per-cell-frame shift: origin_j + wrap - origin_c (XLA tables only)
+        ent_shift = (
+            origins[ent_j] + wrap_f.reshape(-1, d)[ent_rows] - origins[ent_c]
+        ).astype(np.float32)
+        wstart = np.concatenate([[0], np.cumsum(wcnt)[:-1]])
+        wpos = np.arange(E) - np.repeat(wstart, wcnt)
+        win_cells[ent_c, wpos] = ent_j
+        win_shift[ent_c, wpos] = ent_shift
+    _tick("win_fill")
     C = C_pad
 
     # window positions with wrap shifts baked in (pad entries land near
     # 2*PAD_POS, far outside every support radius)
     xw = xs[win_cells] + win_shift[:, :, None, :]  # [C, Wc, M, D]
     xw = xw.reshape(C, Wc * M, d)
+    _tick("xw")
 
     # ---- block structure (BG Morton-consecutive cells, union window) ----
+    # union of (target subcell, total-shift) entries over each block's
+    # cells, re-expressed in the BLOCK frame (origin of the first cell);
+    # entries shared by several of the block's cells dedup on the
+    # h-quantized shift (vectorized np.unique over int rows)
     nb = C // BG
     origins_pad = np.zeros((C, d))
     origins_pad[: len(origins)] = origins
-    blk_unions = []
-    for b in range(nb):
-        # union of (cell, total-shift) entries over the block's cells,
-        # re-expressed in the BLOCK frame (origin of the first cell)
-        blk_origin = origins_pad[b * BG]
-        seen = {}
-        for ci in range(b * BG, min((b + 1) * BG, len(win_lists))):
-            for j, sh in zip(win_lists[ci], shift_lists[ci]):
-                # shift was (origin_j + wrap - origin_ci); re-base to block
-                total = sh + (origins_pad[ci] - blk_origin).astype(np.float32)
-                key = (j, tuple(np.round(total / max(float(h), 1e-9)).astype(int)))
-                if key not in seen:
-                    seen[key] = (j, total)
-        blk_unions.append(list(seen.values()))
+    ent_b = ent_c // BG
+    # Single f64->f32 rounding for the block-frame total: origin_j + wrap
+    # - origin_block. Composing it from the two cell-frame f32 shifts
+    # would round differently per SOURCE cell, so dedup could keep a copy
+    # of a row's own subcell offset by ~1e-8 from the row position — the
+    # forward kernels cancel that algebraically (dA == 0 for the self
+    # pair), but the gsum adjoint self-term would pick up a spurious
+    # 3h^2/d * v contribution. With one rounding, the self copy is
+    # bitwise equal to the row position (same expression as row_shift
+    # below) and d2 == 0 exactly.
+    ent_wrap = wrap_f.reshape(-1, d)[ent_rows]  # f64
+    ent_total = (
+        origins[ent_j] + ent_wrap - origins_pad[ent_b * BG]
+    ).astype(np.float32)
+    qshift = np.round(ent_total / max(float(h), 1e-9)).astype(np.int64)
+    uniq, first = np.unique(
+        np.concatenate(
+            [ent_b[:, None], ent_j[:, None], qshift], axis=1
+        ),
+        axis=0,
+        return_index=True,
+    )
+    u_b = uniq[:, 0]
+    u_j = uniq[:, 1]
+    u_total = ent_total[first]
+    sizes = np.bincount(u_b, minlength=nb)
+    _tick("blk_union")
 
     # ---- window-size bucketing ------------------------------------------
     # Union sizes have a fat tail (p75 ~ 0.6x max on curved surfaces); all
@@ -461,7 +534,6 @@ def build_cell_engine(
     # every range, so bucket arrays and the state both shard evenly on
     # dim 0 and each shard's local cell order is
     # [its bucket-1 blocks | its bucket-2 blocks].
-    sizes = np.asarray([len(u) for u in blk_unions])
     assert nb % n_shards == 0, (nb, n_shards)
     nb_loc = nb // n_shards
     border = np.concatenate([
@@ -480,11 +552,12 @@ def build_cell_engine(
     xw = xw[old_cells]
     cell_old = slot_of_particle // M
     slot_of_particle = newid[cell_old] * M + slot_of_particle % M
-    blk_unions = [
-        [(int(newid[j]), total) for j, total in blk_unions[b]]
-        for b in border
-    ]
+    inv_border = np.empty(nb, np.int64)
+    inv_border[border] = np.arange(nb)
+    u_b = inv_border[u_b]
+    u_j = newid[u_j]
     sizes = sizes[border]
+    _tick("reorder")
 
     # per-shard bucket split at ~p75 (identical count in every shard)
     sizes_sh = sizes.reshape(n_shards, nb_loc)
@@ -501,10 +574,13 @@ def build_cell_engine(
 
     blk_win_cells = np.zeros((nb, Wu), np.int32)  # pad -> cell 0 ...
     blk_shift = np.full((nb, Wu, d), PAD_POS, np.float32)  # ... pushed out
-    for b, entries in enumerate(blk_unions):
-        for s_i, (j, total) in enumerate(entries):
-            blk_win_cells[b, s_i] = j
-            blk_shift[b, s_i] = total
+    ord_u = np.argsort(u_b, kind="stable")
+    ub_s = u_b[ord_u]
+    bcnt = np.bincount(ub_s, minlength=nb)
+    bstart = np.concatenate([[0], np.cumsum(bcnt)[:-1]])
+    bpos = np.arange(len(ub_s)) - np.repeat(bstart, bcnt)
+    blk_win_cells[ub_s, bpos] = u_j[ord_u]
+    blk_shift[ub_s, bpos] = u_total[ord_u]
 
     blk_xw_full = xs[blk_win_cells] + blk_shift[:, :, None, :]  # [nb,Wu,M,D]
     # block rows in the block frame
@@ -525,6 +601,7 @@ def build_cell_engine(
     # rows are shard-major: [shard0's bucket blocks, shard1's, ...]
     win1, xw1, xs1 = bucket_arrays(np.where(b1_mask)[0], Wu1)
     win2, xw2, xs2 = bucket_arrays(np.where(~b1_mask)[0], Wu)
+    _tick("blk_arrays")
 
     sig_w = K.get_smoothing_kernel(smoothing).norm(h, d)
     sig_g = K.get_gradient_kernel(gradient_kernel).norm(h, d)
@@ -555,10 +632,107 @@ def build_cell_engine(
 
     # volumes (v = 1 / (sigma_W sum_w W(d2)), operators_batch.py:70-76)
     # and the static pair-weight matrices
-    eng = _finalize(
-        eng, smoothing=smoothing, gradient_kernel=gradient_kernel
+    _tick("engine_pytree")
+    # volumes + adjoint self-term from the BLOCK structures (chunked;
+    # direct pair differences — more accurate than the cell-frame moment
+    # form under periodic wrap shifts, and the only path that scales)
+    eng = _finalize_from_blocks(
+        eng, np.where(b1_mask)[0], np.where(~b1_mask)[0]
     )
+    if xla_tables:
+        eng = _finalize(
+            eng, smoothing=smoothing, gradient_kernel=gradient_kernel
+        )
+    _tick("finalize")
     return eng
+
+
+def _blk_pair_diffs(xs_b: Array, xw_b: Array) -> Array:
+    """Coordinate-major block rows/windows -> per-axis pair displacements
+    [nb, D, P, W] (direct differences, same rule as the Pallas kernels)."""
+    return xw_b[:, :, None, :] - xs_b[:, :, :, None]
+
+
+@jax.jit
+def _blk_vol_rows(xs_b: Array, xw_b: Array, h, sig_w) -> Array:
+    """Inverse volumes per block row: sig_W sum_w W(d2) over the union
+    window (a superset of each row's cell window; extra entries are
+    beyond h, where W == 0 — so the sum equals the cell-window sum)."""
+    diff = _blk_pair_diffs(xs_b, xw_b)
+    d2 = jnp.sum(diff * diff, axis=1)  # [nb, P, W]
+    w = jnp.maximum(h * h - d2, 0.0) ** 3
+    return sig_w * jnp.sum(w, axis=-1)
+
+
+@jax.jit
+def _blk_gsum_rows(xs_b: Array, xw_b: Array, vw_b: Array, h, sig_g) -> Array:
+    """Gradient-adjoint self term per block row:
+    sig_g sum_k mag v_k (x_k - x_i)  -> [nb, P, D]."""
+    diff = _blk_pair_diffs(xs_b, xw_b)  # [nb, D, P, W]
+    d2 = jnp.sum(diff * diff, axis=1)
+    dist = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+    mag = jnp.where((d2 > 0.0) & (dist < h), 3.0 * (h - dist) ** 2 / dist, 0.0)
+    t = sig_g * mag * vw_b[:, None, :]  # [nb, P, W]
+    return jnp.einsum("npw,ndpw->npd", t, diff)
+
+
+def _finalize_from_blocks(
+    eng: CellEngine, b1_idx: np.ndarray, b2_idx: np.ndarray,
+    chunk: int = 1024,
+) -> CellEngine:
+    """Volumes + gradient self-term computed from the BLOCK structures in
+    chunked device passes — O(P*W*chunk) working memory, no per-cell
+    window tables (the xla_tables=False path for large N)."""
+    C, M, D = eng.xs.shape
+    P = eng.blk_xs.shape[2]
+    nb = C * M // P
+    h, sig_w, sig_g = eng.h, eng.sig_w, eng.sig_g
+
+    def run(fn, rows_idx, *ops):
+        nbk = ops[0].shape[0]
+        outs = []
+        for c0 in range(0, nbk, chunk):
+            sl = slice(c0, min(c0 + chunk, nbk))
+            outs.append(np.asarray(fn(*[o[sl] for o in ops])))
+        return np.concatenate(outs, 0) if outs else None
+
+    inv = np.zeros((nb, P), np.float32)
+    o1 = run(lambda a, b: _blk_vol_rows(a, b, h, sig_w), b1_idx,
+             eng.blk_xs, eng.blk_xw)
+    if o1 is not None and len(b1_idx):
+        inv[b1_idx] = o1
+    if len(b2_idx):
+        inv[b2_idx] = run(lambda a, b: _blk_vol_rows(a, b, h, sig_w),
+                          b2_idx, eng.blk2_xs, eng.blk2_xw)
+
+    pad_slot = np.asarray((eng.xs >= PAD_POS / 2).any(-1))  # [C, M]
+    v = np.where(inv > 0.0, 1.0 / np.maximum(inv, 1e-30), 0.0)
+    vs = np.where(pad_slot, 0.0, v.reshape(C, M)).astype(np.float32)
+
+    wc1 = np.asarray(eng.blk_win_cells)
+    wc2 = np.asarray(eng.blk2_win_cells)
+    blk_vw = vs[wc1].reshape(wc1.shape[0], wc1.shape[1] * M)
+    blk2_vw = vs[wc2].reshape(wc2.shape[0], wc2.shape[1] * M)
+
+    gsum = np.zeros((nb, P, D), np.float32)
+    if len(b1_idx):
+        gsum[b1_idx] = run(
+            lambda a, b, c: _blk_gsum_rows(a, b, c, h, sig_g), b1_idx,
+            eng.blk_xs, eng.blk_xw, jnp.asarray(blk_vw),
+        )
+    if len(b2_idx):
+        gsum[b2_idx] = run(
+            lambda a, b, c: _blk_gsum_rows(a, b, c, h, sig_g), b2_idx,
+            eng.blk2_xs, eng.blk2_xw, jnp.asarray(blk2_vw),
+        )
+
+    gsum = np.where(pad_slot[..., None], 0.0, gsum.reshape(C, M, D))
+    return eng._replace(
+        vs=jnp.asarray(vs),
+        gsum=jnp.asarray(gsum.astype(np.float32)),
+        blk_vw=jnp.asarray(blk_vw),
+        blk2_vw=jnp.asarray(blk2_vw),
+    )
 
 
 @partial(jax.jit, static_argnames=("smoothing", "gradient_kernel"))
@@ -568,18 +742,15 @@ def _finalize(
     smoothing: str,
     gradient_kernel: str,
 ) -> CellEngine:
+    """XLA-path tables Tw/Tg/vw from the per-cell windows. Volumes and
+    the adjoint self-term (vs/gsum/blk_vw) are already on the engine —
+    computed by _finalize_from_blocks, whose direct pair differences are
+    more accurate than this cell-frame moment form."""
     kern = K.get_smoothing_kernel(smoothing)
     d2 = eng.pair_d2()
     w = kern.w(d2, eng.h)  # [C, M, WM]
-    inv_v = eng.sig_w * jnp.sum(w, axis=-1)
-    # pad slots see only other coincident pad slots (d2 == 0); their
-    # volume is irrelevant but must stay finite. Zero it so validity is
-    # recoverable as v > 0.
-    pad_slot = (eng.xs >= PAD_POS / 2).any(-1)
-    v = jnp.where(inv_v > 0.0, 1.0 / jnp.maximum(inv_v, 1e-30), 0.0)
-    vs = jnp.where(pad_slot, 0.0, v)  # [C, M]
     c, m = eng.num_cells, eng.slots_per_cell
-    vw = vs.reshape(c, m)[eng.win_cells].reshape(c, -1)
+    vw = eng.vs.reshape(c, m)[eng.win_cells].reshape(c, -1)
 
     Tw = eng.sig_w * w * vw[:, None, :]
 
@@ -588,21 +759,4 @@ def _finalize(
     mag = jnp.where(inside, 3.0 * (eng.h - d) ** 2 / d, 0.0)
     Tg = eng.sig_g * mag * vw[:, None, :]
 
-    # gradient-adjoint self term: sigma_g sum_k mag v (xw - xb)
-    s_xw = jnp.einsum(
-        "cmw,cwd->cmd", Tg, eng.xw, precision=jax.lax.Precision.HIGHEST
-    )
-    s_t = jnp.sum(Tg, axis=-1)
-    gsum = s_xw - eng.xs * s_t[..., None]
-
-    vflat = vs.reshape(c, m)
-    blk_vw = vflat[eng.blk_win_cells].reshape(
-        eng.blk_win_cells.shape[0], eng.blk_xw.shape[2]
-    )
-    blk2_vw = vflat[eng.blk2_win_cells].reshape(
-        eng.blk2_win_cells.shape[0], eng.blk2_xw.shape[2]
-    )
-    return eng._replace(
-        vs=vs, vw=vw, Tw=Tw, Tg=Tg, gsum=gsum,
-        blk_vw=blk_vw, blk2_vw=blk2_vw,
-    )
+    return eng._replace(vw=vw, Tw=Tw, Tg=Tg)
