@@ -82,6 +82,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=1000)
     p.add_argument("--vgg_weights", type=str, default="",
                    help="npz with VGG19 conv weights for the OT loss")
+    p.add_argument("--clip_weights", type=str, default="",
+                   help="npz with CLIP ViT-B/32 weights (image tower via "
+                        "convert_open_clip, text tower via "
+                        "convert_open_clip_text; may be one combined "
+                        "file). Without it, fixed-seed random towers run "
+                        "the full pipeline (not semantically CLIP)")
+    p.add_argument("--clip_bpe", type=str, default="",
+                   help="path to CLIP's bpe_simple_vocab_16e6.txt.gz for "
+                        "real tokenization of --clip_guide")
+    p.add_argument("--clip_text_embed", type=str, default="",
+                   help=".npy with a precomputed normalized text "
+                        "embedding [512] (overrides --clip_guide encoding)")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--engine", choices=["cells", "graph"], default="cells",
                    help="neighborhood engine: cell-dense+Pallas (fast) or "
@@ -248,12 +260,44 @@ def main(argv=None) -> int:
         # target for OT is the style exemplar resampled to the particle grid
         target_hw = jax.image.resize(img, (m, m, img.shape[-1]), "bilinear")
         bundle = make_ot_bundle(target_hw, feature_fn, ot_cfg)
-    else:
-        raise SystemExit(
-            "clip_multiscale requires pretrained CLIP weights, which this "
-            "offline environment cannot fetch; see training/features.py "
-            "for the loader hooks."
+    else:  # clip_multiscale (reference losses.py:72-102, nca.py:470-508)
+        from ..training import make_clip_bundle
+        from ..training.clip_encoder import get_clip_encoder
+        from ..training.clip_text import get_text_features
+
+        if args.clip_text_embed:
+            text_features = jnp.asarray(np.load(args.clip_text_embed))
+        else:
+            if not args.clip_guide:
+                raise SystemExit(
+                    "--loss clip_multiscale needs --clip_guide (a text "
+                    "prompt) or --clip_text_embed"
+                )
+            text_features = get_text_features(
+                args.clip_guide,
+                weights_path=args.clip_weights or None,
+                bpe_path=args.clip_bpe or None,
+            )
+            if not (args.clip_weights and args.clip_bpe):
+                print(
+                    "WARNING: encoding --clip_guide with "
+                    f"{'random weights' if not args.clip_weights else ''}"
+                    f"{' and ' if not (args.clip_weights or args.clip_bpe) else ''}"
+                    f"{'fallback tokenizer' if not args.clip_bpe else ''}"
+                    " — pipeline-correct but not semantically CLIP"
+                )
+        encoder = get_clip_encoder(args.clip_weights or None)
+        scales = tuple(
+            float(s) for s in args.clip_multiscale_scales.split(",")
         )
+        clip_cfg = CLIPLossConfig(
+            image_size=m,
+            scales=scales,
+            clip_weight=args.loss_weight_clip,
+            overflow_weight=args.loss_weight_overflow,
+            use_alpha=args.use_alpha,
+        )
+        bundle = make_clip_bundle(text_features, encoder, clip_cfg)
 
     train_cfg = TrainConfig(
         batch_size=args.batch_size,

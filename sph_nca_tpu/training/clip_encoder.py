@@ -73,23 +73,28 @@ def _layernorm(x, g, b, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
 
 
-def _block(t: Array, w: dict, i: int) -> Array:
+def _block(t: Array, w: dict, i: int, width: int = WIDTH,
+           heads: int = HEADS, attn_mask: Array | None = None) -> Array:
+    """One CLIP residual attention block (shared by the image and text
+    towers; the text tower passes a causal attn_mask)."""
     p = f"blk{i}_"
     h = _layernorm(t, w[p + "ln1_g"], w[p + "ln1_b"])
-    qkv = h @ w[p + "attn_w"] + w[p + "attn_b"]  # [T, 3*WIDTH]
+    qkv = h @ w[p + "attn_w"] + w[p + "attn_b"]  # [T, 3*width]
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    hd = WIDTH // HEADS
+    hd = width // heads
 
     def split_heads(a):
-        return a.reshape(-1, HEADS, hd).transpose(1, 0, 2)  # [H, T, hd]
+        return a.reshape(-1, heads, hd).transpose(1, 0, 2)  # [H, T, hd]
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
     att = jnp.einsum(
         "htd,hsd->hts", q, k, precision=jax.lax.Precision.HIGHEST
     ) / np.sqrt(hd)
+    if attn_mask is not None:
+        att = att + attn_mask
     att = jax.nn.softmax(att, axis=-1)
     o = jnp.einsum("hts,hsd->htd", att, v)
-    o = o.transpose(1, 0, 2).reshape(-1, WIDTH)
+    o = o.transpose(1, 0, 2).reshape(-1, width)
     t = t + (o @ w[p + "attn_out_w"] + w[p + "attn_out_b"])
 
     h = _layernorm(t, w[p + "ln2_g"], w[p + "ln2_b"])
