@@ -198,3 +198,59 @@ def density_sweep(
             }
         )
     return results
+
+
+# ---------------------------------------------------------------------------
+# Texture statistics (quantifying exemplar-synthesis quality when no
+# pixel-aligned ground truth exists — OT/style mode produces a NEW texture
+# sample, so PSNR is meaningless; these are the standard stationary-texture
+# comparisons)
+# ---------------------------------------------------------------------------
+
+
+def radial_power_spectrum(img: np.ndarray, nbins: int = 24) -> np.ndarray:
+    """Orientation-averaged log power spectrum of a [H, W, C] image in
+    nbins radial frequency bins (L1-normalized)."""
+    g = np.mean(np.asarray(img, np.float64), axis=-1)
+    g = g - g.mean()
+    p = np.abs(np.fft.fftshift(np.fft.fft2(g))) ** 2
+    h, w = p.shape
+    yy, xx = np.mgrid[:h, :w]
+    r = np.hypot(yy - h / 2, xx - w / 2)
+    rmax = r.max() + 1e-9
+    bins = np.minimum((r / rmax * nbins).astype(int), nbins - 1)
+    spec = np.bincount(bins.ravel(), weights=p.ravel(), minlength=nbins)
+    cnt = np.bincount(bins.ravel(), minlength=nbins)
+    spec = np.log1p(spec / np.maximum(cnt, 1))
+    return spec / (np.sum(spec) + 1e-12)
+
+
+def color_histogram(img: np.ndarray, nbins: int = 16) -> np.ndarray:
+    """Per-channel histogram of a [H, W, C] image in [0, 1], concatenated
+    and L1-normalized."""
+    img = np.clip(np.asarray(img, np.float64), 0.0, 1.0)
+    hs = [
+        np.histogram(img[..., c].ravel(), bins=nbins, range=(0, 1))[0]
+        for c in range(img.shape[-1])
+    ]
+    h = np.concatenate(hs).astype(np.float64)
+    return h / (h.sum() + 1e-12)
+
+
+def texture_stats_distance(a: np.ndarray, b: np.ndarray) -> dict:
+    """Distance between two textures' stationary statistics.
+
+    Returns {'spectrum_l1', 'color_l1'} — L1 distances between radial
+    power spectra and color histograms (0 = identical statistics; ~0.1+
+    = visibly different texture families). Used to quantify how close a
+    synthesized exemplar texture is to its target without pixel
+    alignment (RESULTS.md random-filter-OT study).
+    """
+    return {
+        "spectrum_l1": float(
+            np.abs(radial_power_spectrum(a) - radial_power_spectrum(b)).sum()
+        ),
+        "color_l1": float(
+            np.abs(color_histogram(a) - color_histogram(b)).sum()
+        ),
+    }

@@ -62,3 +62,20 @@ def test_density_sweep_runs_small():
     assert res[1]["n_particles"] > res[0]["n_particles"]
     for r in res:
         assert np.isfinite(r["psnr"]) and -1 <= r["ssim"] <= 1
+
+
+def test_texture_stats_distance():
+    from sph_nca_tpu.eval import texture_stats_distance
+
+    rng = np.random.default_rng(0)
+    # horizontal stripes vs itself (shifted) vs isotropic noise
+    yy = np.linspace(0, 12 * np.pi, 64)[:, None]
+    stripes = np.repeat((0.5 + 0.5 * np.sin(yy)) * np.ones((64, 64))[..., None], 3, -1)
+    shifted = np.roll(stripes, 7, axis=0)
+    noise = rng.random((64, 64, 3))
+
+    same = texture_stats_distance(stripes, shifted)
+    diff = texture_stats_distance(stripes, noise)
+    assert same["spectrum_l1"] < 0.02
+    assert diff["spectrum_l1"] > 5 * same["spectrum_l1"]
+    assert diff["color_l1"] > same["color_l1"]

@@ -134,3 +134,58 @@ def test_gram_style_loss():
     assert float(gram_style_loss([f], [f])) < 1e-10
     f2 = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32) * 2)
     assert float(gram_style_loss([f], [f2])) > 1e-4
+
+
+def test_convert_torchvision_vgg19_recorded_schema(tmp_path):
+    """Converter validated against torchvision's RECORDED vgg19 layout.
+
+    This environment has no model zoo (no torchvision, no egress), so
+    real weights cannot be loaded; instead this pins the exact schema a
+    real `vgg19().features.state_dict()` has — key names `features.{0,2,
+    5,7,10}.{weight,bias}` and OIHW shapes ([64,3,3,3], [64,64,3,3],
+    [128,64,3,3], [128,128,3,3], [256,128,3,3]; torchvision.models.vgg
+    cfg 'E') — and checks the OIHW->HWIO transpose numerically with a
+    delta-filter probe, so a converted real checkpoint is correct by
+    construction.
+    """
+    import jax.numpy as jnp
+
+    from sph_nca_tpu.training.features import (
+        convert_torchvision_vgg19,
+        load_vgg19_features,
+    )
+
+    recorded = {  # (key index, OIHW shape) as in torchvision vgg19
+        0: (64, 3, 3, 3),
+        2: (64, 64, 3, 3),
+        5: (128, 64, 3, 3),
+        7: (128, 128, 3, 3),
+        10: (256, 128, 3, 3),
+    }
+    rng = np.random.default_rng(0)
+    sd = {}
+    for li, shape in recorded.items():
+        sd[f"features.{li}.weight"] = rng.normal(size=shape).astype(np.float32)
+        sd[f"features.{li}.bias"] = rng.normal(size=shape[0]).astype(np.float32)
+    # orientation probe: conv1 filter 7 responds only to input channel 2
+    # at kernel tap (kh=0, kw=2)
+    w0 = np.zeros((64, 3, 3, 3), np.float32)
+    w0[7, 2, 0, 2] = 1.0
+    sd["features.0.weight"] = w0
+    sd["features.0.bias"] = np.zeros(64, np.float32)
+
+    out = str(tmp_path / "vgg.npz")
+    convert_torchvision_vgg19(sd, out)
+    vgg = load_vgg19_features(out)
+    for i, (li, shape) in enumerate(recorded.items()):
+        assert vgg.weights[i].shape == (shape[2], shape[3], shape[1], shape[0])
+
+    # delta probe: output pixel (y, x) of filter 7 must equal the
+    # normalized input channel 2 at (y-1, x+1) (SAME padding, tap (0,2))
+    img = np.asarray(rng.random((8, 8, 3)), np.float32)
+    feats = vgg(jnp.asarray(img))
+    f7 = np.asarray(feats[0]).reshape(8, 8, 64)[..., 7]
+    from sph_nca_tpu.training.features import IMAGENET_MEAN, IMAGENET_STD
+
+    z2 = (img[..., 2] - IMAGENET_MEAN[2]) / IMAGENET_STD[2]
+    np.testing.assert_allclose(f7[1:, :-1], z2[:-1, 1:], rtol=1e-5, atol=1e-5)
