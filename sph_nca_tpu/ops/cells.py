@@ -96,6 +96,21 @@ class CellEngine(NamedTuple):
     h: Array  # scalar f32
     sig_w: Array  # smoothing normalization sigma_W
     sig_g: Array  # gradient normalization sigma_g
+    # OPTIONAL precomputed pair tables (build_cell_engine(pair_tables=...)).
+    # Positions are static for a whole rollout (reference nca.py:136), so
+    # the per-pair kernel evaluations are constants. Stored per block:
+    # the DISPLACEMENT-SCALED spiky factors md_d = mag * (xw_d - xb_d)
+    # (one [P, W] matrix per axis) and the poly6 core (h^2 - d2)^3. Every
+    # pair pass then becomes [P, W] @ [W, K] MXU matmuls — the per-pair
+    # sqrt/div/pow VPU work (the measured bottleneck of the recompute
+    # kernels) disappears, traded for an HBM stream that reads ~4x faster
+    # at N=1e5. Storing mag*r (not raw mag + moment expansion) keeps
+    # bfloat16 quantization at the PAIR level: a raw-mag moment form
+    # amplifies the rounding by |x_window|/|r_pair| (~6x measured).
+    blk_md: Optional[Array] = None  # [nb1, D, P, Wu1*M] mag * r_d
+    blk_w6: Optional[Array] = None  # [nb1, P, Wu1*M] (h^2-d2)^3 (>=0)
+    blk2_md: Optional[Array] = None  # [nb2, D, P, Wu*M]
+    blk2_w6: Optional[Array] = None  # [nb2, P, Wu*M]
 
     @property
     def block_cells(self) -> int:
@@ -264,6 +279,7 @@ def build_cell_engine(
     cell_pad_multiple: int = 16,
     n_shards: int = 1,
     xla_tables: bool = True,
+    pair_tables: Optional[str] = None,
 ) -> CellEngine:
     """Build the engine for concrete positions (host-side, one-time).
 
@@ -292,6 +308,12 @@ def build_cell_engine(
     term are then computed from the block structures in chunked passes.
     Use it for large N with the Pallas path (the XLA formulation raises
     if invoked on such an engine).
+
+    ``pair_tables``: None (recompute pair weights in-kernel each step),
+    "float32" or "bfloat16" (precompute the per-block pair-weight
+    matrices once; the Pallas kernels then run as single MXU matmuls —
+    see the CellEngine field comment). O(pairs) device memory:
+    2 * nb * P * Wu * M * itemsize.
     """
     # The precomputed pair tables (_finalize) and the Pallas kernels
     # (ops/pallas/pair_kernel.py) hard-wire the poly6 / spiky pair math —
@@ -643,6 +665,11 @@ def build_cell_engine(
         eng = _finalize(
             eng, smoothing=smoothing, gradient_kernel=gradient_kernel
         )
+    if pair_tables is not None:
+        eng = _build_pair_tables(
+            eng, jnp.dtype(pair_tables),
+            np.where(b1_mask)[0], np.where(~b1_mask)[0],
+        )
     _tick("finalize")
     return eng
 
@@ -732,6 +759,79 @@ def _finalize_from_blocks(
         gsum=jnp.asarray(gsum.astype(np.float32)),
         blk_vw=jnp.asarray(blk_vw),
         blk2_vw=jnp.asarray(blk2_vw),
+    )
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _blk_pair_mats(xs_b: Array, xw_b: Array, h, dtype) -> Tuple[Array, Array]:
+    """Per-block pair tables: displacement-scaled spiky factors
+    md [nb, D, P, W] = mag * (xw_d - xb_d) and poly6 core [nb, P, W].
+    d2 is formed by direct per-axis differences in f32 (cancellation-free
+    near d -> 0, same rule as the recompute kernels) BEFORE the cast."""
+    diff = _blk_pair_diffs(xs_b, xw_b)  # [nb, D, P, W] = xw - xb
+    d2 = jnp.sum(diff * diff, axis=1)
+    dist = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+    mag = jnp.where(
+        (d2 > 0.0) & (dist < h), 3.0 * (h - dist) ** 2 / dist, 0.0
+    )
+    w6 = jnp.maximum(h * h - d2, 0.0) ** 3
+    return (mag[:, None] * diff).astype(dtype), w6.astype(dtype)
+
+
+@jax.jit
+def _blk_gsum_from_tables(md: Array, vw_b: Array, sig_g) -> Array:
+    """Adjoint self-term re-derived from the QUANTIZED table:
+    gsum[p, d] = sig_g sum_w md_q[d, p, w] v_w. The forward table kernel
+    uses this as its rowsum correction, so a spatially-constant field
+    cancels to f32-accumulation noise instead of table-quantization
+    noise (grad(const) == 0 must hold at table precision, else bf16
+    errors are amplified by |A| / |dA across h|)."""
+    return sig_g * jnp.einsum(
+        "ndpw,nw->npd", md.astype(jnp.float32), vw_b,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _build_pair_tables(
+    eng: CellEngine, dtype, b1_idx: np.ndarray, b2_idx: np.ndarray,
+    chunk: int = 512,
+) -> CellEngine:
+    """Precompute the static per-block pair-weight matrices (chunked),
+    and replace gsum with the quantization-consistent version."""
+    C, M, D = eng.xs.shape
+    P = eng.blk_xs.shape[2]
+    nb = C * M // P
+
+    def run(xs_b, xw_b, vw_b):
+        nbk = xs_b.shape[0]
+        mds, w6s, gss = [], [], []
+        for c0 in range(0, nbk, chunk):
+            sl = slice(c0, min(c0 + chunk, nbk))
+            m, w = _blk_pair_mats(xs_b[sl], xw_b[sl], eng.h, dtype)
+            mds.append(m)
+            w6s.append(w)
+            gss.append(
+                np.asarray(_blk_gsum_from_tables(m, vw_b[sl], eng.sig_g))
+            )
+        ddim, p, wdim = xs_b.shape[1], xs_b.shape[2], xw_b.shape[2]
+        if not mds:
+            return (jnp.zeros((0, ddim, p, wdim), dtype),
+                    jnp.zeros((0, p, wdim), dtype),
+                    np.zeros((0, p, ddim), np.float32))
+        return (jnp.concatenate(mds, 0), jnp.concatenate(w6s, 0),
+                np.concatenate(gss, 0))
+
+    md1, w61, gs1 = run(eng.blk_xs, eng.blk_xw, eng.blk_vw)
+    md2, w62, gs2 = run(eng.blk2_xs, eng.blk2_xw, eng.blk2_vw)
+
+    gsum = np.zeros((nb, P, D), np.float32)
+    if len(b1_idx):
+        gsum[b1_idx] = gs1
+    if len(b2_idx):
+        gsum[b2_idx] = gs2
+    return eng._replace(
+        blk_md=md1, blk_w6=w61, blk2_md=md2, blk2_w6=w62,
+        gsum=jnp.asarray(gsum.reshape(C, M, D)),
     )
 
 

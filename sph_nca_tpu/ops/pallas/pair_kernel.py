@@ -126,6 +126,136 @@ def _fwd_kernel(
     ga_ref[:] = jnp.concatenate(out, axis=-1)
 
 
+def _fwd_tab_kernel(
+    scal_ref,  # SMEM [4]: h, sig_w, sig_g, alive_thr
+    ab_ref,  # [P, F]   block states
+    gsum_ref,  # [P, D]  quantization-consistent rowsum sig_g sum md_q v
+    vw_ref,  # [1, W]   union window volumes
+    sw_ref,  # [W, F]   union window states
+    md_ref,  # [D, P, W] precomputed mag * (xw_d - xb_d) (table dtype)
+    w6_ref,  # [P, W]    precomputed poly6 core (table dtype)
+    ga_ref,  # out [P, F*D] (d-major)
+    sm_ref,  # out [1, P]
+    *,
+    use_alpha: bool,
+):
+    """Table fast path: the whole pair pass is ONE MXU matmul.
+
+    With the displacement-scaled table md_d = mag * r_d (r = xw - xb)
+    the direct-displacement gradient (see _fwd_kernel) is
+
+        grad_d = sig_g md_d @ (vw * Aw) - Ab * gsum_d
+
+    — one [D*P, W] @ [W, F] matmul for all D axes. No per-pair VPU work
+    remains (that was the measured bottleneck of the recompute kernel),
+    and the bf16 table quantizes at the PAIR level, so no block-frame
+    cancellation amplification. CRITICALLY the rowsum correction gsum =
+    sig_g sum_w md_q v_w is precomputed FROM THE QUANTIZED TABLE
+    (ops/cells._blk_gsum_from_tables): a spatially-constant field then
+    cancels to f32-accumulation noise; correcting with the exact-f32
+    rowsum instead would leave an error of |A_const| * table-epsilon,
+    which dwarfs the actual gradient signal |dA across h| on smooth
+    states. The life-mask blur rides the same call as a [1,W]x[P,W]^T
+    matvec on the poly6 table.
+    """
+    sig_w = scal_ref[1]
+    sig_g = scal_ref[2]
+    thr = scal_ref[3]
+    ddim = md_ref.shape[0]
+    p, f = ab_ref.shape
+
+    vw = vw_ref[:]  # [1, W]
+    aw = sw_ref[:]  # [W, F]
+    ab = ab_ref[:]  # [P, F]
+    gsum = gsum_ref[:]  # [P, D]
+    # table read is bf16/f32 from HBM; COMPUTE in f32 (the upcast is free
+    # VPU work, and an f32 rhs keeps the constant-field cancellation
+    # against the f32 gsum exact — quantizing vw*Aw would reintroduce
+    # the |A_const| * eps error the gsum trick removes)
+    md = md_ref[:].astype(jnp.float32)  # [D, P, W]
+    w = md.shape[-1]
+
+    rhs = aw * vw[0][:, None]  # [W, F]
+    mom = jax.lax.dot_general(
+        md.reshape(ddim * p, w), rhs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(ddim, p, f)
+
+    out = []
+    for d in range(ddim):
+        out.append(sig_g * mom[d] - ab * gsum[:, d : d + 1])
+    ga_ref[:] = jnp.concatenate(out, axis=-1)
+
+    if use_alpha:
+        alive = (aw[:, 3] > thr).astype(jnp.float32)
+    else:
+        alive = (vw[0] > 0.0).astype(jnp.float32)
+    col = (sig_w * vw[0] * alive)[None, :]  # [1, W]
+    sm_ref[:] = jax.lax.dot_general(
+        col, w6_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [1, P]
+
+
+def _bwd_tab_kernel(
+    scal_ref,  # SMEM [4]
+    vs_ref,  # [1, P]
+    gsum_ref,  # [P, D]
+    gbar_ref,  # [P, F*D] own cotangent (d-major)
+    gw_ref,  # [W, F*D] window cotangents (d-major)
+    md_ref,  # [D, P, W] precomputed mag * (xw_d - xb_d)
+    da_ref,  # out [P, F]
+):
+    """Table fast path of the gradient adjoint (see _bwd_kernel): with
+    r_bwd = x_row - x_col = -(xw - xb),
+
+        term1 = -sig_g v_row sum_d md_d @ G_d
+
+    — D MXU matmuls over the stored table, zero per-pair VPU work."""
+    sig_g = scal_ref[2]
+    ddim = md_ref.shape[0]
+    p = vs_ref.shape[-1]
+    fd = gbar_ref.shape[-1]
+    f = fd // ddim
+
+    gw = gw_ref[:]  # [W, F*D]
+    md = md_ref[:].astype(jnp.float32)
+
+    acc = jnp.zeros((p, f), jnp.float32)
+    for d in range(ddim):
+        acc = acc + jax.lax.dot_general(
+            md[d], gw[:, d * f : (d + 1) * f],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    term1 = -sig_g * vs_ref[0][:, None] * acc
+
+    gb = gbar_ref[:]
+    gsum = gsum_ref[:]
+    t2 = jnp.zeros((p, f), jnp.float32)
+    for d in range(ddim):
+        t2 = t2 + gsum[:, d : d + 1] * gb[:, d * f : (d + 1) * f]
+    da_ref[:] = term1 - t2
+
+
+def _mask_tab_kernel(
+    scal_ref,  # SMEM [4]
+    vw_ref,  # [1, W]
+    aw_ref,  # [1, W] alive indicator of window slots
+    w6_ref,  # [P, W] precomputed poly6 core
+    sm_ref,  # out [1, P]
+):
+    sig_w = scal_ref[1]
+    col = (sig_w * vw_ref[0] * aw_ref[0])[None, :]
+    sm_ref[:] = jax.lax.dot_general(
+        col, w6_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def window_from_flat(flat: Array, win_cells: Array, m: int) -> Array:
     """flat [C, M*F] -> union-window rows [nb, Wu*M, F] (one
     cell-granularity gather)."""
@@ -167,24 +297,44 @@ def merge_rows(r1: Array, r2: Array, shards: int) -> Array:
     return out.reshape((r1.shape[0] + r2.shape[0],) + r1.shape[1:])
 
 
-def fwd_bucket(scal, xs_b, ab, xw_b, vw_b, Sw, *, use_alpha: bool):
+def fwd_bucket(scal, xs_b, ab, xw_b, vw_b, Sw, *, use_alpha: bool,
+               md=None, w6=None, gsum=None):
     """One pallas_call of the fused forward over one block bucket.
     xs_b [nb,D,P], ab [nb,P,F], xw_b [nb,D,W], vw_b [nb,W], Sw [nb,W,F]
-    -> (ga [nb,P,F*D] d-major, sm [nb,1,P])."""
+    -> (ga [nb,P,F*D] d-major, sm [nb,1,P]). With ``md`` [nb,D,P,W] /
+    ``w6`` [nb,P,W] pair tables (+ ``gsum`` [nb,P,D] rowsum correction)
+    the MXU table kernel runs instead of the recompute kernel
+    (positions are then not read at all)."""
     nb, ddim, p = xs_b.shape
     w = xw_b.shape[2]
     f = ab.shape[-1]
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, use_alpha=use_alpha),
-        grid=(nb,),
-        in_specs=[
+    if md is not None:
+        kernel = functools.partial(_fwd_tab_kernel, use_alpha=use_alpha)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, p, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, p, w), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((None, p, w), lambda i: (i, 0, 0)),
+        ]
+        args = [scal, ab, gsum, vw_b[:, None, :], Sw, md, w6]
+    else:
+        kernel = functools.partial(_fwd_kernel, use_alpha=use_alpha)
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, p, f), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
-        ],
+        ]
+        args = [scal, xs_b, ab, xw_b, vw_b[:, None, :], Sw]
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((None, p, f * ddim), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
@@ -194,7 +344,7 @@ def fwd_bucket(scal, xs_b, ab, xw_b, vw_b, Sw, *, use_alpha: bool):
             jax.ShapeDtypeStruct((nb, 1, p), jnp.float32),
         ],
         interpret=_interpret(),
-    )(scal, xs_b, ab, xw_b, vw_b[:, None, :], Sw)
+    )(*args)
 
 
 def scal_vec(eng: CellEngine) -> Array:
@@ -226,14 +376,19 @@ def fused_perception_pallas(
     scal = scal_vec(eng)
     nb1 = eng.blk_xs.shape[0]
     ab1, ab2 = split_rows(S.reshape(-1, p, f), shards, nb1)
+    gs1 = gs2 = None
+    if eng.blk_md is not None:
+        gs1, gs2 = split_rows(eng.gsum.reshape(-1, p, ddim), shards, nb1)
 
     Sw1 = _bucket_window(eng, S, eng.blk_win_cells)
     ga1, sm1 = fwd_bucket(scal, eng.blk_xs, ab1, eng.blk_xw, eng.blk_vw,
-                          Sw1, use_alpha=use_alpha)
+                          Sw1, use_alpha=use_alpha,
+                          md=eng.blk_md, w6=eng.blk_w6, gsum=gs1)
     if eng.blk2_xs.shape[0]:
         Sw2 = _bucket_window(eng, S, eng.blk2_win_cells)
         ga2, sm2 = fwd_bucket(scal, eng.blk2_xs, ab2, eng.blk2_xw,
-                              eng.blk2_vw, Sw2, use_alpha=use_alpha)
+                              eng.blk2_vw, Sw2, use_alpha=use_alpha,
+                              md=eng.blk2_md, w6=eng.blk2_w6, gsum=gs2)
     else:
         ga2 = jnp.zeros((0, p, f * ddim), jnp.float32)
         sm2 = jnp.zeros((0, 1, p), jnp.float32)
@@ -297,15 +452,25 @@ def _bwd_kernel(
     da_ref[:] = term1 - t2
 
 
-def bwd_bucket(scal, xs_b, vs_b, gsum_b, gb_b, xw_b, gw):
+def bwd_bucket(scal, xs_b, vs_b, gsum_b, gb_b, xw_b, gw, md=None):
     """One pallas_call of the gradient adjoint over one block bucket."""
     nb, ddim, p = xs_b.shape
     w = xw_b.shape[2]
     f = gb_b.shape[-1] // ddim
-    (da,) = pl.pallas_call(
-        _bwd_kernel,
-        grid=(nb,),
-        in_specs=[
+    if md is not None:
+        kernel = _bwd_tab_kernel
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, ddim, p, w), lambda i: (i, 0, 0, 0)),
+        ]
+        args = [scal, vs_b, gsum_b, gb_b, gw, md]
+    else:
+        kernel = _bwd_kernel
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((None, ddim, p), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0)),
@@ -313,11 +478,16 @@ def bwd_bucket(scal, xs_b, vs_b, gsum_b, gb_b, xw_b, gw):
             pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, ddim, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
-        ],
+        ]
+        args = [scal, xs_b, vs_b, gsum_b, gb_b, xw_b, gw]
+    (da,) = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((nb, p, f), jnp.float32)],
         interpret=_interpret(),
-    )(scal, xs_b, vs_b, gsum_b, gb_b, xw_b, gw)
+    )(*args)
     return da
 
 
@@ -344,10 +514,12 @@ def gradient_adjoint_dmajor_pallas(
     gs1, gs2 = split_rows(gsum.reshape(-1, p, ddim), shards, nb1)
 
     gw1 = _bucket_window(eng, gflat, eng.blk_win_cells)
-    da1 = bwd_bucket(scal, eng.blk_xs, vs1, gs1, gb1, eng.blk_xw, gw1)
+    da1 = bwd_bucket(scal, eng.blk_xs, vs1, gs1, gb1, eng.blk_xw, gw1,
+                     md=eng.blk_md)
     if eng.blk2_xs.shape[0]:
         gw2 = _bucket_window(eng, gflat, eng.blk2_win_cells)
-        da2 = bwd_bucket(scal, eng.blk2_xs, vs2, gs2, gb2, eng.blk2_xw, gw2)
+        da2 = bwd_bucket(scal, eng.blk2_xs, vs2, gs2, gb2, eng.blk2_xw, gw2,
+                         md=eng.blk2_md)
     else:
         da2 = jnp.zeros((0, p, f), jnp.float32)
     return merge_rows(da1, da2, shards).reshape(c, m, f)
@@ -438,10 +610,25 @@ def _mask_kernel(
     sm_ref[:] = jnp.sum(Tw * aw_ref[:], axis=-1)[None, :]
 
 
-def mask_bucket(scal, xs_b, xw_b, vw_b, aw):
+def mask_bucket(scal, xs_b, xw_b, vw_b, aw, w6=None):
     """One pallas_call of the life-mask blur over one block bucket."""
     nb, ddim, p = xs_b.shape
     w = xw_b.shape[2]
+    if w6 is not None:
+        (sm,) = pl.pallas_call(
+            _mask_tab_kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+                pl.BlockSpec((None, p, w), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((None, 1, p), lambda i: (i, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((nb, 1, p), jnp.float32)],
+            interpret=_interpret(),
+        )(scal, vw_b[:, None, :], aw[:, None, :], w6)
+        return sm
     (sm,) = pl.pallas_call(
         _mask_kernel,
         grid=(nb,),
@@ -472,17 +659,18 @@ def mask_blur_pallas(
 
     scal = scal_vec(eng)
 
-    def bucket(xs_b, win_b, xw_b, vw_b):
+    def bucket(xs_b, win_b, xw_b, vw_b, w6):
         if use_alpha:
             aw = _bucket_window(eng, act, win_b)[..., 0]
         else:
             aw = (vw_b > 0.0).astype(jnp.float32)
-        return mask_bucket(scal, xs_b, xw_b, vw_b, aw)
+        return mask_bucket(scal, xs_b, xw_b, vw_b, aw, w6=w6)
 
-    sm1 = bucket(eng.blk_xs, eng.blk_win_cells, eng.blk_xw, eng.blk_vw)
+    sm1 = bucket(eng.blk_xs, eng.blk_win_cells, eng.blk_xw, eng.blk_vw,
+                 eng.blk_w6)
     if eng.blk2_xs.shape[0]:
         sm2 = bucket(eng.blk2_xs, eng.blk2_win_cells, eng.blk2_xw,
-                     eng.blk2_vw)
+                     eng.blk2_vw, eng.blk2_w6)
     else:
         sm2 = jnp.zeros((0,) + sm1.shape[1:], jnp.float32)
     return merge_rows(sm1, sm2, shards).reshape(c, m)

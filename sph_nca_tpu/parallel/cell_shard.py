@@ -49,14 +49,29 @@ Array = jnp.ndarray
 
 
 def _blk_args(eng: CellEngine):
-    return (
+    args = (
         eng.blk_xs, eng.blk_win_cells, eng.blk_xw, eng.blk_vw,
         eng.blk2_xs, eng.blk2_win_cells, eng.blk2_xw, eng.blk2_vw,
     )
+    if eng.blk_md is not None:
+        args += (eng.blk_md, eng.blk_w6, eng.blk2_md, eng.blk2_w6)
+    return args
 
 
-def _blk_specs():
-    return (P(PARTICLE_AXIS),) * 8
+def _blk_specs(eng: CellEngine):
+    n = 8 if eng.blk_md is None else 12
+    return (P(PARTICLE_AXIS),) * n
+
+
+def _unpack_blk(blk):
+    """(bucket-1 tuple, bucket-2 tuple): (xs, win, xw, vw, md, w6) each,
+    with md/w6 None when the engine carries no pair tables."""
+    if len(blk) == 8:
+        blk = blk + (None,) * 4
+    (bxs1, bwin1, bxw1, bvw1, bxs2, bwin2, bxw2, bvw2,
+     mag1, w61, mag2, w62) = blk
+    return ((bxs1, bwin1, bxw1, bvw1, mag1, w61),
+            (bxs2, bwin2, bxw2, bvw2, mag2, w62))
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "use_alpha"))
@@ -66,19 +81,26 @@ def _fwd(mesh: Mesh, eng: CellEngine, S: Array, use_alpha: bool):
     p = eng.blk_xs.shape[2]
     scal = scal_vec(eng)
 
-    def body(scal, S_loc, bxs1, bwin1, bxw1, bvw1, bxs2, bwin2, bxw2, bvw2):
+    def body(scal, S_loc, gsum_loc, *blk):
+        (bxs1, bwin1, bxw1, bvw1, md1, w61), \
+            (bxs2, bwin2, bxw2, bvw2, md2, w62) = _unpack_blk(blk)
         S_full = jax.lax.all_gather(S_loc, PARTICLE_AXIS, axis=0, tiled=True)
         flat = S_full.reshape(c, m * f)
         ab = S_loc.reshape(-1, p, f)
+        gs = gsum_loc.reshape(-1, p, ddim)
         nb1_loc = bxs1.shape[0]
 
         Sw1 = window_from_flat(flat, bwin1, m)
         ga1, sm1 = fwd_bucket(scal, bxs1, ab[:nb1_loc], bxw1, bvw1, Sw1,
-                              use_alpha=use_alpha)
+                              use_alpha=use_alpha, md=md1, w6=w61,
+                              gsum=gs[:nb1_loc] if md1 is not None else None)
         if bxs2.shape[0]:
             Sw2 = window_from_flat(flat, bwin2, m)
             ga2, sm2 = fwd_bucket(scal, bxs2, ab[nb1_loc:], bxw2, bvw2,
-                                  Sw2, use_alpha=use_alpha)
+                                  Sw2, use_alpha=use_alpha, md=md2,
+                                  w6=w62,
+                                  gsum=(gs[nb1_loc:] if md2 is not None
+                                        else None))
             ga = jnp.concatenate([ga1, ga2], axis=0)
             sm = jnp.concatenate([sm1, sm2], axis=0)
         else:
@@ -90,10 +112,10 @@ def _fwd(mesh: Mesh, eng: CellEngine, S: Array, use_alpha: bool):
         body,
         mesh=mesh,
         check_vma=False,  # pallas_call outputs carry no vma metadata
-        in_specs=(P(), P(PARTICLE_AXIS)) + _blk_specs(),
+        in_specs=(P(), P(PARTICLE_AXIS), P(PARTICLE_AXIS)) + _blk_specs(eng),
         out_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS)),
     )
-    return fn(scal, S, *_blk_args(eng))
+    return fn(scal, S, eng.gsum, *_blk_args(eng))
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
@@ -104,8 +126,9 @@ def _bwd(mesh: Mesh, eng: CellEngine, gflat: Array) -> Array:
     p = eng.blk_xs.shape[2]
     scal = scal_vec(eng)
 
-    def body(scal, g_loc, vs_loc, gsum_loc,
-             bxs1, bwin1, bxw1, bvw1, bxs2, bwin2, bxw2, bvw2):
+    def body(scal, g_loc, vs_loc, gsum_loc, *blk):
+        (bxs1, bwin1, bxw1, bvw1, mag1, _w61), \
+            (bxs2, bwin2, bxw2, bvw2, mag2, _w62) = _unpack_blk(blk)
         g_full = jax.lax.all_gather(g_loc, PARTICLE_AXIS, axis=0, tiled=True)
         flatg = g_full.reshape(c, m * fd)
         gb = g_loc.reshape(-1, p, fd)
@@ -115,11 +138,11 @@ def _bwd(mesh: Mesh, eng: CellEngine, gflat: Array) -> Array:
 
         gw1 = window_from_flat(flatg, bwin1, m)
         da1 = bwd_bucket(scal, bxs1, vs[:nb1_loc], gs[:nb1_loc],
-                         gb[:nb1_loc], bxw1, gw1)
+                         gb[:nb1_loc], bxw1, gw1, md=mag1)
         if bxs2.shape[0]:
             gw2 = window_from_flat(flatg, bwin2, m)
             da2 = bwd_bucket(scal, bxs2, vs[nb1_loc:], gs[nb1_loc:],
-                             gb[nb1_loc:], bxw2, gw2)
+                             gb[nb1_loc:], bxw2, gw2, md=mag2)
             da = jnp.concatenate([da1, da2], axis=0)
         else:
             da = da1
@@ -130,7 +153,7 @@ def _bwd(mesh: Mesh, eng: CellEngine, gflat: Array) -> Array:
         mesh=mesh,
         check_vma=False,  # pallas_call outputs carry no vma metadata
         in_specs=(P(), P(PARTICLE_AXIS), P(PARTICLE_AXIS),
-                  P(PARTICLE_AXIS)) + _blk_specs(),
+                  P(PARTICLE_AXIS)) + _blk_specs(eng),
         out_specs=P(PARTICLE_AXIS),
     )
     return fn(scal, gflat, eng.vs, eng.gsum, *_blk_args(eng))
@@ -168,7 +191,9 @@ def mask_blur_sharded(
     c, m, f = S.shape
     scal = scal_vec(eng)
 
-    def body(scal, S_loc, bxs1, bwin1, bxw1, bvw1, bxs2, bwin2, bxw2, bvw2):
+    def body(scal, S_loc, *blk):
+        (bxs1, bwin1, bxw1, bvw1, _mag1, w61), \
+            (bxs2, bwin2, bxw2, bvw2, _mag2, w62) = _unpack_blk(blk)
         if use_alpha:
             act_loc = (S_loc[..., 3] > 0.1).astype(jnp.float32)
             act_full = jax.lax.all_gather(
@@ -176,16 +201,16 @@ def mask_blur_sharded(
             )
             flat = act_full.reshape(c, m)
 
-        def bucket(bxs, bwin, bxw, bvw):
+        def bucket(bxs, bwin, bxw, bvw, w6):
             if use_alpha:
                 aw = window_from_flat(flat, bwin, m)[..., 0]
             else:
                 aw = (bvw > 0.0).astype(jnp.float32)
-            return mask_bucket(scal, bxs, bxw, bvw, aw)
+            return mask_bucket(scal, bxs, bxw, bvw, aw, w6=w6)
 
-        sm1 = bucket(bxs1, bwin1, bxw1, bvw1)
+        sm1 = bucket(bxs1, bwin1, bxw1, bvw1, w61)
         if bxs2.shape[0]:
-            sm2 = bucket(bxs2, bwin2, bxw2, bvw2)
+            sm2 = bucket(bxs2, bwin2, bxw2, bvw2, w62)
             sm = jnp.concatenate([sm1, sm2], axis=0)
         else:
             sm = sm1
@@ -195,7 +220,7 @@ def mask_blur_sharded(
         body,
         mesh=mesh,
         check_vma=False,  # pallas_call outputs carry no vma metadata
-        in_specs=(P(), P(PARTICLE_AXIS)) + _blk_specs(),
+        in_specs=(P(), P(PARTICLE_AXIS)) + _blk_specs(eng),
         out_specs=P(PARTICLE_AXIS),
     )
     return fn(scal, S, *_blk_args(eng))

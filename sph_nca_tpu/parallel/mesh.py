@@ -112,8 +112,11 @@ def shard_cell_engine(eng, mesh: Mesh, batch_scatter=None):
         "xs", "vs", "win_cells", "xw", "vw", "Tw", "Tg", "gsum",
         "blk_xs", "blk_win_cells", "blk_xw", "blk_vw",
         "blk2_xs", "blk2_win_cells", "blk2_xw", "blk2_vw",
+        "blk_md", "blk_w6", "blk2_md", "blk2_w6",
     ):
         a = getattr(eng, n)
+        if a is None:
+            continue
         if a.shape[0] % axis:
             raise ValueError(
                 f"CellEngine.{n} (dim0={a.shape[0]}) does not divide the "

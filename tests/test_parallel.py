@@ -184,6 +184,55 @@ def test_sharded_pallas_rollout_matches():
 
 
 @needs_8
+def test_sharded_pair_tables_rollout_matches():
+    """Precomputed pair tables (the MXU table kernels) under shard_map
+    must match the unsharded table path, forward and backward."""
+    from sph_nca_tpu.models import SPHNCAConfig, init_params
+    from sph_nca_tpu.models.cell_step import rollout_cells
+    from sph_nca_tpu.ops.cells import build_cell_engine
+    from sph_nca_tpu.parallel import shard_cell_engine
+    from sph_nca_tpu.utils.geometry import grange
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data=1)
+    npart = mesh.shape["particle"]
+    m, h = 24, 0.2
+    x = grange((m, m), jnp.asarray([-1.0, -1.0]), jnp.asarray([2.0, 2.0]))
+    x = x.reshape(-1, 2)
+    eng = build_cell_engine(x, h, n_shards=npart, pair_tables="float32")
+    cfg = SPHNCAConfig(channels=8, hidden=16)
+    params = init_params(jax.random.key(0), cfg)
+    A = jax.random.uniform(jax.random.key(1), (x.shape[0], 8))
+
+    def unsharded_loss(p):
+        out = rollout_cells(p, cfg, eng, eng.scatter(A),
+                            jax.random.key(2), 3, h, use_pallas=True,
+                            shards=npart, fire_rate=1.0).final
+        return jnp.sum(eng.gather_back(out) ** 2), out
+
+    eng_s = shard_cell_engine(eng, mesh)
+    S0 = jax.device_put(eng.scatter(A), NamedSharding(mesh, P("particle")))
+
+    def sh_loss(p):
+        out = rollout_cells(p, cfg, eng_s, S0, jax.random.key(2), 3, h,
+                            use_pallas=True, mesh=mesh,
+                            fire_rate=1.0).final
+        return jnp.sum(eng.gather_back(out) ** 2), out
+
+    (lu, out_u), gu = jax.value_and_grad(unsharded_loss, has_aux=True)(params)
+    (ls, out_s), gs = jax.value_and_grad(sh_loss, has_aux=True)(params)
+    assert np.isclose(float(ls), float(lu), rtol=1e-6)
+    assert np.allclose(
+        np.asarray(eng.gather_back(out_s)),
+        np.asarray(eng.gather_back(out_u)), atol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+@needs_8
 def test_sharded_perception_adjoint_matches():
     """Sharded custom_vjp adjoint == unsharded pallas == XLA autodiff."""
     from sph_nca_tpu.ops.pallas.pair_kernel import perceive_cells_dmajor
