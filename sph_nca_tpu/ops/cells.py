@@ -107,9 +107,9 @@ class CellEngine(NamedTuple):
     # at N=1e5. Storing mag*r (not raw mag + moment expansion) keeps
     # bfloat16 quantization at the PAIR level: a raw-mag moment form
     # amplifies the rounding by |x_window|/|r_pair| (~6x measured).
-    blk_md: Optional[Array] = None  # [nb1, D, P, Wu1*M] mag * r_d
+    blk_md: Optional[Array] = None  # [nb1, D*P, Wu1*M] mag * r_d (d-major)
     blk_w6: Optional[Array] = None  # [nb1, P, Wu1*M] (h^2-d2)^3 (>=0)
-    blk2_md: Optional[Array] = None  # [nb2, D, P, Wu*M]
+    blk2_md: Optional[Array] = None  # [nb2, D*P, Wu*M]
     blk2_w6: Optional[Array] = None  # [nb2, P, Wu*M]
 
     @property
@@ -240,6 +240,50 @@ class CellEngine(NamedTuple):
             + (xb[:, :, None, :] * Ab[..., None]) * t1[..., None]
         )
         return grad
+
+    def divergence(self, V: Array, *, Sw: Optional[Array] = None) -> Array:
+        """SPH divergence of vector features in cell layout:
+        V [C, M, F, D] -> [C, M, F] (reference operators_batch.py
+        divergence; exported unused by the reference, sphops/__init__.py:2
+        — provided for operator-tier completeness)."""
+        c, m = self.num_cells, self.slots_per_cell
+        F, D = V.shape[-2], V.shape[-1]
+        Vf = V.reshape(c, m, F * D)
+        Vw = self.window(Vf) if Sw is None else Sw  # [C, WM, F*D]
+        Vw = Vw.reshape(c, -1, F, D)
+        xb = self.xs  # [C, M, D]
+        # div_i[f] = sum_w Tg_w sum_d (xw_d - xb_d)(Vw[f,d] - Vb[f,d])
+        # expanded into window moments (same scheme as gradient())
+        parts = [Vw.reshape(c, -1, F * D)]
+        parts.append(jnp.sum(Vw * self.xw[:, :, None, :], -1))  # [C,WM,F]
+        parts.append(self.xw)  # [C, WM, D]
+        parts.append(jnp.ones_like(Vw[..., 0, :1]))
+        rhs = jnp.concatenate(parts, axis=-1)
+        mom = jnp.einsum(
+            "cmw,cwk->cmk", self.Tg, rhs,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        tV = mom[..., : F * D].reshape(c, m, F, D)  # T @ Vw
+        tVx = mom[..., F * D : F * D + F]  # T @ (Vw . xw)
+        tx = mom[..., F * D + F : F * D + F + D]  # T @ xw
+        t1 = mom[..., -1:]  # T @ 1
+        Vb = V
+        div = (
+            tVx
+            - jnp.sum(tV * xb[:, :, None, :], -1)
+            - jnp.sum(Vb * tx[:, :, None, :], -1)
+            + jnp.sum(Vb * xb[:, :, None, :], -1) * t1
+        )
+        return div
+
+    def count(self) -> Array:
+        """Neighbor count within h (includes self) per slot [C, M] int32
+        (reference operators_batch.py count; pad slots report 0)."""
+        d2 = self.pair_d2()
+        real_w = (self.vw > 0.0)[:, None, :]
+        cnt = jnp.sum((d2 < self.h * self.h) & real_w, axis=-1)
+        real_b = self.vs > 0.0
+        return jnp.where(real_b, cnt, 0).astype(jnp.int32)
 
     def volume_consistency(self) -> Array:
         """sigma_W * sum_w W * v_w per slot — should be ~1 for real slots
@@ -775,7 +819,9 @@ def _blk_pair_mats(xs_b: Array, xw_b: Array, h, dtype) -> Tuple[Array, Array]:
         (d2 > 0.0) & (dist < h), 3.0 * (h - dist) ** 2 / dist, 0.0
     )
     w6 = jnp.maximum(h * h - d2, 0.0) ** 3
-    return (mag[:, None] * diff).astype(dtype), w6.astype(dtype)
+    nb, ddim, p, w = diff.shape
+    md = (mag[:, None] * diff).astype(dtype).reshape(nb, ddim * p, w)
+    return md, w6.astype(dtype)
 
 
 @jax.jit
@@ -787,9 +833,9 @@ def _blk_gsum_from_tables(md: Array, vw_b: Array, sig_g) -> Array:
     noise (grad(const) == 0 must hold at table precision, else bf16
     errors are amplified by |A| / |dA across h|)."""
     return sig_g * jnp.einsum(
-        "ndpw,nw->npd", md.astype(jnp.float32), vw_b,
+        "nrw,nw->nr", md.astype(jnp.float32), vw_b,
         precision=jax.lax.Precision.HIGHEST,
-    )
+    )  # [nb, D*P] (rows d-major, like md)
 
 
 def _build_pair_tables(
@@ -804,18 +850,18 @@ def _build_pair_tables(
 
     def run(xs_b, xw_b, vw_b):
         nbk = xs_b.shape[0]
+        ddim, p, wdim = xs_b.shape[1], xs_b.shape[2], xw_b.shape[2]
         mds, w6s, gss = [], [], []
         for c0 in range(0, nbk, chunk):
             sl = slice(c0, min(c0 + chunk, nbk))
             m, w = _blk_pair_mats(xs_b[sl], xw_b[sl], eng.h, dtype)
             mds.append(m)
             w6s.append(w)
-            gss.append(
-                np.asarray(_blk_gsum_from_tables(m, vw_b[sl], eng.sig_g))
-            )
-        ddim, p, wdim = xs_b.shape[1], xs_b.shape[2], xw_b.shape[2]
+            # [nbk, D*P] d-major -> [nbk, P, D]
+            gs = np.asarray(_blk_gsum_from_tables(m, vw_b[sl], eng.sig_g))
+            gss.append(gs.reshape(-1, ddim, p).transpose(0, 2, 1))
         if not mds:
-            return (jnp.zeros((0, ddim, p, wdim), dtype),
+            return (jnp.zeros((0, ddim * p, wdim), dtype),
                     jnp.zeros((0, p, wdim), dtype),
                     np.zeros((0, p, ddim), np.float32))
         return (jnp.concatenate(mds, 0), jnp.concatenate(w6s, 0),

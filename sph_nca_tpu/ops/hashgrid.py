@@ -344,11 +344,29 @@ def build_graph(
     period: Optional[Array] = None,
     smoothing: str = K.DEFAULT_SMOOTHING,
     gradient_kernel: str = K.DEFAULT_GRADIENT,
+    exact: bool = True,
 ) -> SPHGraph:
-    """Build neighbor list + volumes + precomputed edge weights for ``x``."""
+    """Build neighbor list + volumes + precomputed edge weights for ``x``.
+
+    ``exact`` (eager-only, ignored under jit tracing): if the fixed-K list
+    dropped any true neighbor (``num_dropped > 0`` — possible when the
+    capacities came from suggest_capacity's SAMPLED estimate at n > 4096),
+    retry with 1.5x capacities until exact instead of silently computing
+    on a truncated neighborhood. Pass ``exact=False`` to keep a
+    deliberately undersized K (tests exercise the drop accounting).
+    """
     nl = build_neighbor_list(
         x, h, dims, max_per_cell=max_per_cell, k=k, period=period
     )
+    if exact and not isinstance(nl.num_dropped, jax.core.Tracer):
+        import math as _math
+
+        while int(nl.num_dropped) > 0:
+            max_per_cell = int(_math.ceil(max_per_cell * 1.5 / 8)) * 8
+            k = int(_math.ceil(k * 1.5 / 8)) * 8
+            nl = build_neighbor_list(
+                x, h, dims, max_per_cell=max_per_cell, k=k, period=period
+            )
     return graph_from_neighbor_list(
         x, h, nl, period=period, smoothing=smoothing,
         gradient_kernel=gradient_kernel,

@@ -132,7 +132,7 @@ def _fwd_tab_kernel(
     gsum_ref,  # [P, D]  quantization-consistent rowsum sig_g sum md_q v
     vw_ref,  # [1, W]   union window volumes
     sw_ref,  # [W, F]   union window states
-    md_ref,  # [D, P, W] precomputed mag * (xw_d - xb_d) (table dtype)
+    md_ref,  # [D*P, W] precomputed mag * (xw_d - xb_d), rows d-major
     w6_ref,  # [P, W]    precomputed poly6 core (table dtype)
     ga_ref,  # out [P, F*D] (d-major)
     sm_ref,  # out [1, P]
@@ -161,8 +161,8 @@ def _fwd_tab_kernel(
     sig_w = scal_ref[1]
     sig_g = scal_ref[2]
     thr = scal_ref[3]
-    ddim = md_ref.shape[0]
     p, f = ab_ref.shape
+    ddim = md_ref.shape[0] // p
 
     vw = vw_ref[:]  # [1, W]
     aw = sw_ref[:]  # [W, F]
@@ -172,19 +172,20 @@ def _fwd_tab_kernel(
     # VPU work, and an f32 rhs keeps the constant-field cancellation
     # against the f32 gsum exact — quantizing vw*Aw would reintroduce
     # the |A_const| * eps error the gsum trick removes)
-    md = md_ref[:].astype(jnp.float32)  # [D, P, W]
-    w = md.shape[-1]
+    md = md_ref[:].astype(jnp.float32)  # [D*P, W]
 
     rhs = aw * vw[0][:, None]  # [W, F]
     mom = jax.lax.dot_general(
-        md.reshape(ddim * p, w), rhs,
+        md, rhs,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(ddim, p, f)
+    )  # [D*P, F]
 
     out = []
     for d in range(ddim):
-        out.append(sig_g * mom[d] - ab * gsum[:, d : d + 1])
+        out.append(
+            sig_g * mom[d * p : (d + 1) * p] - ab * gsum[:, d : d + 1]
+        )
     ga_ref[:] = jnp.concatenate(out, axis=-1)
 
     if use_alpha:
@@ -205,7 +206,7 @@ def _bwd_tab_kernel(
     gsum_ref,  # [P, D]
     gbar_ref,  # [P, F*D] own cotangent (d-major)
     gw_ref,  # [W, F*D] window cotangents (d-major)
-    md_ref,  # [D, P, W] precomputed mag * (xw_d - xb_d)
+    md_ref,  # [D*P, W] precomputed mag * (xw_d - xb_d), rows d-major
     da_ref,  # out [P, F]
 ):
     """Table fast path of the gradient adjoint (see _bwd_kernel): with
@@ -215,18 +216,18 @@ def _bwd_tab_kernel(
 
     — D MXU matmuls over the stored table, zero per-pair VPU work."""
     sig_g = scal_ref[2]
-    ddim = md_ref.shape[0]
     p = vs_ref.shape[-1]
+    ddim = md_ref.shape[0] // p
     fd = gbar_ref.shape[-1]
     f = fd // ddim
 
     gw = gw_ref[:]  # [W, F*D]
-    md = md_ref[:].astype(jnp.float32)
+    md = md_ref[:].astype(jnp.float32)  # [D*P, W]
 
     acc = jnp.zeros((p, f), jnp.float32)
     for d in range(ddim):
         acc = acc + jax.lax.dot_general(
-            md[d], gw[:, d * f : (d + 1) * f],
+            md[d * p : (d + 1) * p], gw[:, d * f : (d + 1) * f],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -238,6 +239,27 @@ def _bwd_tab_kernel(
     for d in range(ddim):
         t2 = t2 + gsum[:, d : d + 1] * gb[:, d * f : (d + 1) * f]
     da_ref[:] = term1 - t2
+
+
+def _blur_tab_kernel(
+    scal_ref,  # SMEM [4]
+    vw_ref,  # [1, W]
+    xw_ref,  # [W, F] window values
+    w6_ref,  # [P, W] precomputed poly6 core
+    out_ref,  # out [P, F]
+):
+    """SPH blur over the poly6 table: out = sig_w w6 @ (vw * Xw) — one
+    [P, W] @ [W, F] MXU matmul (the F-channel generalization of the
+    life-mask matvec). Used by the cell-layout tangent diffusion
+    (models/surface.rollout_mesh_cells; reference nca.py:312-323)."""
+    sig_w = scal_ref[1]
+    vw = vw_ref[:]
+    rhs = xw_ref[:] * vw[0][:, None]  # [W, F]
+    out_ref[:] = sig_w * jax.lax.dot_general(
+        w6_ref[:].astype(jnp.float32), rhs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _mask_tab_kernel(
@@ -301,7 +323,7 @@ def fwd_bucket(scal, xs_b, ab, xw_b, vw_b, Sw, *, use_alpha: bool,
                md=None, w6=None, gsum=None):
     """One pallas_call of the fused forward over one block bucket.
     xs_b [nb,D,P], ab [nb,P,F], xw_b [nb,D,W], vw_b [nb,W], Sw [nb,W,F]
-    -> (ga [nb,P,F*D] d-major, sm [nb,1,P]). With ``md`` [nb,D,P,W] /
+    -> (ga [nb,P,F*D] d-major, sm [nb,1,P]). With ``md`` [nb,D*P,W] /
     ``w6`` [nb,P,W] pair tables (+ ``gsum`` [nb,P,D] rowsum correction)
     the MXU table kernel runs instead of the recompute kernel
     (positions are then not read at all)."""
@@ -316,7 +338,7 @@ def fwd_bucket(scal, xs_b, ab, xw_b, vw_b, Sw, *, use_alpha: bool,
             pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, ddim, p, w), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((None, ddim * p, w), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, p, w), lambda i: (i, 0, 0)),
         ]
         args = [scal, ab, gsum, vw_b[:, None, :], Sw, md, w6]
@@ -465,7 +487,7 @@ def bwd_bucket(scal, xs_b, vs_b, gsum_b, gb_b, xw_b, gw, md=None):
             pl.BlockSpec((None, p, ddim), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, p, ddim * f), lambda i: (i, 0, 0)),
             pl.BlockSpec((None, w, ddim * f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((None, ddim, p, w), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((None, ddim * p, w), lambda i: (i, 0, 0)),
         ]
         args = [scal, vs_b, gsum_b, gb_b, gw, md]
     else:
@@ -674,3 +696,47 @@ def mask_blur_pallas(
     else:
         sm2 = jnp.zeros((0,) + sm1.shape[1:], jnp.float32)
     return merge_rows(sm1, sm2, shards).reshape(c, m)
+
+
+def blur_bucket(scal, vw_b, Xw, w6):
+    """One pallas_call of the table blur over one block bucket."""
+    nb, w, f = Xw.shape
+    p = w6.shape[1]
+    (out,) = pl.pallas_call(
+        _blur_tab_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, w, f), lambda i: (i, 0, 0)),
+            pl.BlockSpec((None, p, w), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((None, p, f), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((nb, p, f), jnp.float32)],
+        interpret=_interpret(),
+    )(scal, vw_b[:, None, :], Xw, w6)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shards",))
+def blur_cells_pallas(eng: CellEngine, X: Array, shards: int = 1) -> Array:
+    """SPH blur in cell layout via the poly6 pair table:
+    X [C, M, F] -> [C, M, F] (same semantics as CellEngine.blur /
+    graph_blur at the engine's h; requires pair_tables). Powers the
+    tangent-diffusion blur of mesh rollouts (reference nca.py:312-323,
+    whose diffusion radius equals the trained model's h in practice)."""
+    if eng.blk_w6 is None:
+        raise ValueError(
+            "blur_cells_pallas needs pair tables; rebuild the engine "
+            "with build_cell_engine(..., pair_tables='float32'/'bfloat16')"
+        )
+    c, m, f = X.shape
+    scal = scal_vec(eng)
+    Xw1 = _bucket_window(eng, X, eng.blk_win_cells)
+    o1 = blur_bucket(scal, eng.blk_vw, Xw1, eng.blk_w6)
+    if eng.blk2_xs.shape[0]:
+        Xw2 = _bucket_window(eng, X, eng.blk2_win_cells)
+        o2 = blur_bucket(scal, eng.blk2_vw, Xw2, eng.blk2_w6)
+    else:
+        o2 = jnp.zeros((0,) + o1.shape[1:], jnp.float32)
+    return merge_rows(o1, o2, shards).reshape(c, m, f)

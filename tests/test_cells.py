@@ -147,3 +147,29 @@ def test_cell_rollout_differentiable(rng):
     leaves = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_cell_divergence_matches_dense(rng):
+    from sph_nca_tpu.ops import dense
+    from sph_nca_tpu.ops.cells import build_cell_engine
+
+    n, h = 220, 0.3
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    V = jnp.asarray(rng.normal(size=(n, 4, 3)).astype(np.float32))
+    eng = build_cell_engine(np.asarray(x), h)
+    want = np.asarray(dense.divergence(x, dense.volume(x, h), V, h))
+    Vc = eng.scatter(V.reshape(n, -1)).reshape(*eng.xs.shape[:2], 4, 3)
+    got = np.asarray(eng.gather_back(eng.divergence(Vc)))
+    assert np.allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_cell_count_matches_dense(rng):
+    from sph_nca_tpu.ops import dense
+    from sph_nca_tpu.ops.cells import build_cell_engine
+
+    n, h = 300, 0.25
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)).astype(np.float32))
+    eng = build_cell_engine(np.asarray(x), h)
+    want = np.asarray(dense.count(x, h))
+    got = np.asarray(eng.gather_back(eng.count()[..., None]))[:, 0]
+    assert np.array_equal(got, want)

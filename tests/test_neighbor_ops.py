@@ -186,3 +186,20 @@ def test_vmap_batching(rng):
     for i in range(b):
         want = np.asarray(dense.volume(xs[i], H))
         assert np.allclose(np.asarray(vols[i]), want, rtol=1e-4)
+
+
+def test_build_graph_exact_retries_undersized_k(rng):
+    """build_graph(exact=True) must auto-grow capacities until no true
+    neighbor is dropped (guards suggest_capacity's sampled estimate)."""
+    from sph_nca_tpu.ops.hashgrid import build_graph, build_neighbor_list
+
+    x = jnp.asarray(rng.uniform(-1, 1, (400, 2)).astype(np.float32))
+    h = 0.4  # dense neighborhoods; k=8 is deliberately too small
+    dims = ops.default_dims(h)
+    nl = build_neighbor_list(x, h, dims, max_per_cell=64, k=8)
+    assert int(nl.num_dropped) > 0  # the failure mode being guarded
+    g = build_graph(x, h, dims, max_per_cell=64, k=8)  # exact by default
+    # every true pair within h is present: volumes match the dense oracle
+    from sph_nca_tpu.ops import dense
+    want = np.asarray(dense.volume(x, h))
+    assert np.allclose(np.asarray(g.v), want, rtol=1e-5, atol=1e-7)

@@ -121,3 +121,51 @@ def test_tangent_perception_feeds_tangential_components():
         np.asarray(p1[..., 2]), np.asarray(p2[..., 2]), atol=1e-4
     )
     assert not np.allclose(np.asarray(p1[..., 0]), np.asarray(p2[..., 0]))
+
+
+def test_blur_cells_pallas_matches_graph_blur():
+    from sph_nca_tpu.ops.cells import build_cell_engine
+    from sph_nca_tpu.ops.neighbor_ops import graph_blur
+    from sph_nca_tpu.ops.pallas.pair_kernel import blur_cells_pallas
+
+    x, nrm, g, h = sphere_scene(800, 0.3)
+    eng = build_cell_engine(np.asarray(x), h, pair_tables="float32")
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.normal(size=(x.shape[0], 4)).astype(np.float32))
+    want = np.asarray(graph_blur(g, X))
+    got = np.asarray(eng.gather_back(blur_cells_pallas(eng, eng.scatter(X))))
+    assert np.allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_mesh_rollout_cells_matches_graph_path():
+    """Cell-engine mesh rollout (table kernels, cell-layout diffuse) must
+    match the graph-path rollout_mesh at fire_rate=1 with the diffusion
+    neighborhood at the model h (the reference's practical case)."""
+    from sph_nca_tpu.models.surface import rollout_mesh_cells
+    from sph_nca_tpu.ops.cells import build_cell_engine
+    from sph_nca_tpu.utils.seeds import add_radial_seed
+
+    x, nrm, g, h = sphere_scene(1200, 0.22)
+    eng = build_cell_engine(np.asarray(x), h, pair_tables="float32")
+    cfg = SPHNCAConfig(channels=8, hidden=32, normalize_perception=1.0 / h)
+    params = init_params(jax.random.key(0), cfg)
+    A0 = jnp.zeros((x.shape[0], 8))
+    A0 = add_radial_seed(x, A0, x[0], 0.3)
+    t0 = jax.vmap(orthogonalize)(nrm, jnp.ones_like(nrm))
+
+    ref_A, ref_t, _ = rollout_mesh(
+        params, cfg, g, g, A0, nrm, t0, jax.random.key(1), 4, h,
+        fire_rate=1.0,
+    )
+    got_A, got_t, states = rollout_mesh_cells(
+        params, cfg, eng, A0, nrm, t0, jax.random.key(1), 4, h,
+        fire_rate=1.0, collect_all=True,
+    )
+    assert states.shape == (5, x.shape[0], 8)
+    assert np.allclose(np.asarray(got_A), np.asarray(ref_A),
+                       rtol=2e-3, atol=2e-3)
+    # tangent fields agree where cells are alive (dead-slot tangents are
+    # normalized garbage in both paths)
+    alive = np.asarray(ref_A[:, 3]) > 0.1
+    assert np.allclose(np.asarray(got_t)[alive], np.asarray(ref_t)[alive],
+                       rtol=2e-3, atol=2e-3)
