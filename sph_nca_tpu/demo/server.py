@@ -44,15 +44,36 @@ class DemoState:
         self.size = args.size
         self.channels = int(cfgj.get("input_features", 48)) // 3
 
-        # particle grid + optional jitter (reference worker point patterns)
-        lin = (np.arange(self.size) + 0.5) / self.size * 2.0 - 1.0
-        gx, gy = np.meshgrid(lin, lin, indexing="ij")
-        x = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+        # particle point patterns (reference inference-worker.js:60-110 +
+        # utils.js pointUtils): square or hexagonal lattice, with uniform
+        # or spatially-varying jitter
+        spacing = 2.0 / self.size
+        if getattr(args, "pattern", "square") == "hex":
+            # rows at spacing*sqrt(3)/2, odd rows offset half a spacing
+            # (utils.js createHexagonalGrid)
+            vs = spacing * np.sqrt(3.0) / 2.0
+            ny = int(np.ceil(2.0 / vs))
+            pts = []
+            for j in range(ny):
+                row_off = spacing / 2.0 if j % 2 else 0.0
+                nx = self.size - 1 if j % 2 else self.size
+                xs = -1.0 + row_off + (np.arange(nx) + 0.5) * spacing
+                ys = np.full(nx, -1.0 + (j + 0.5) * vs)
+                pts.append(np.stack([xs, ys], -1))
+            x = np.concatenate(pts).astype(np.float32)
+            x = x[(x[:, 1] >= -1.0) & (x[:, 1] <= 1.0)]
+        else:
+            lin = (np.arange(self.size) + 0.5) / self.size * 2.0 - 1.0
+            gx, gy = np.meshgrid(lin, lin, indexing="ij")
+            x = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
         if args.jitter > 0:
             rng = np.random.default_rng(0)
-            x = x + rng.uniform(
-                -args.jitter, args.jitter, x.shape
-            ).astype(np.float32) * (2.0 / self.size)
+            noise = rng.uniform(-args.jitter, args.jitter, x.shape)
+            if getattr(args, "spatial_jitter", False):
+                # noise grows across the domain (utils.js addSpatialNoise)
+                fac = 0.5 * ((x[:, 0] + 1.0) / 2.0 + (x[:, 1] + 1.0) / 2.0)
+                noise = noise * fac[:, None]
+            x = x + noise.astype(np.float32) * spacing
 
         use_alpha = self.mode == "image"
         period = np.asarray([2.0, 2.0], np.float32) if not use_alpha else None
@@ -94,7 +115,18 @@ class DemoState:
     def frame(self) -> bytes:
         with self.lock:
             rgba = self.engine.rgba(self.A)
-        img = np.clip(rgba, 0.0, 1.0).reshape(self.size, self.size, 4)
+        rgba = np.clip(rgba, 0.0, 1.0)
+        if rgba.shape[0] == self.size * self.size:
+            img = rgba.reshape(self.size, self.size, 4)
+        else:
+            # non-square lattices (hex): splat points onto the canvas
+            # (the reference renders a point scatter, main.js canvas)
+            ij = np.clip(
+                ((self.x + 1.0) / 2.0 * self.size).astype(np.int64),
+                0, self.size - 1,
+            )
+            img = np.zeros((self.size, self.size, 4), np.float32)
+            img[ij[:, 0], ij[:, 1]] = rgba
         if self.mode != "image":
             img[..., 3] = 1.0
         return (img * 255).astype(np.uint8).tobytes()
@@ -163,6 +195,15 @@ def main(argv=None):
     p.add_argument("--weights_json", required=True)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--jitter", type=float, default=0.0)
+    p.add_argument(
+        "--pattern", choices=["square", "hex"], default="square",
+        help="point lattice (reference pointPattern square/hexagonal)",
+    )
+    p.add_argument(
+        "--spatial_jitter", action="store_true",
+        help="jitter amplitude grows across the domain "
+             "(reference spatiallyVaryingNoise)",
+    )
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
 

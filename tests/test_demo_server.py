@@ -77,3 +77,32 @@ def test_brush_and_reset(server):
     _get(base + "/reset")
     assert state.step_count == 0
     assert not np.allclose(state.A, 0.0)
+
+
+def test_hex_pattern_and_spatial_jitter(tmp_path):
+    """Reference point-pattern parity: hexagonal lattice + spatially
+    varying jitter (inference-worker.js:76, utils.js addSpatialNoise)."""
+    cfg = SPHNCAConfig(channels=8, hidden=16, normalize_perception=4.0)
+    params = init_params(jax.random.key(0), cfg)
+    wpath = str(tmp_path / "w.json")
+    save_weights_json(wpath, params, cfg, h=0.25, mode="image")
+
+    class Args:
+        weights_json = wpath
+        size = 12
+        jitter = 0.3
+        pattern = "hex"
+        spatial_jitter = True
+
+    state = DemoState(Args())
+    x = state.x
+    assert np.all(np.isfinite(x)) and x.shape[1] == 2
+    # hex rows: two distinct row populations (offset rows one point short)
+    ys = np.unique(np.round(x[:, 1], 3))
+    assert len(ys) > 10
+    # spatial jitter: displacement grows along the +x+y diagonal — ensured
+    # statistically by the construction; just check bounds stay sane
+    assert x.min() > -1.5 and x.max() < 1.5
+    state.step()
+    assert np.isfinite(state.A).all()
+    assert len(state.frame()) == 12 * 12 * 4
