@@ -19,8 +19,23 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", type=str, default="")
     p.add_argument("--weights_json", type=str, default="")
-    p.add_argument("--img", type=str, required=True)
-    p.add_argument("--base_size", type=int, default=64)
+    p.add_argument(
+        "--img", type=str, default="",
+        help="target image; defaults to the one recorded in the checkpoint",
+    )
+    p.add_argument(
+        "--base_size", type=int, default=0,
+        help="particle grid side at 1x density; 0 = training image_size "
+        "from the checkpoint (the protocol of the reference study)",
+    )
+    p.add_argument(
+        "--target_size", type=int, default=0,
+        help="target image resolution; 0 = training target_size",
+    )
+    p.add_argument(
+        "--seed_radius", type=float, default=0.0,
+        help="initial radial seed radius; 0 = training value",
+    )
     p.add_argument("--densities", type=str, default="0.5,1,2,4")
     p.add_argument("--steps", type=int, default=96)
     p.add_argument("--jitter", type=float, default=0.0)
@@ -28,28 +43,51 @@ def main(argv=None) -> int:
     p.add_argument("--out", type=str, default="")
     args = p.parse_args(argv)
 
-    import numpy as np
-
     from ..eval import density_sweep
     from ..io import load_checkpoint, load_weights_json
     from ..utils.image import load_image
 
+    train_args = {}
     if args.weights_json:
         m = load_weights_json(args.weights_json)
         params, cfg, h = m.params, m.cfg, m.h
     elif args.checkpoint:
         ck = load_checkpoint(args.checkpoint)
         params, cfg, h = ck["params"], ck["model_cfg"], ck["h"]
+        train_args = (ck.get("meta") or {}).get("extra", {}).get("args", {})
     else:
         raise SystemExit("need --checkpoint or --weights_json")
 
-    target = load_image(args.img, max_size=args.base_size)
+    # Reproduce the TRAINING geometry by default (train.py:82's
+    # image_scale): 1x density = the trained particle spacing, target in
+    # the domain center, the trained seed radius. Evaluating any other
+    # geometry measures a different protocol than the reference study.
+    base_size = args.base_size or int(train_args.get("image_size", 64))
+    target_size = args.target_size or int(train_args.get("target_size", 64))
+    seed_radius = args.seed_radius or float(
+        train_args.get("initial_feature_radius", 0.0)
+    ) or None
+    image_scale = target_size / base_size
+    img_path = args.img or train_args.get("img", "")
+    if not img_path:
+        raise SystemExit("need --img (checkpoint records no target image)")
+    premultiply = bool(train_args.get("alpha_premultiply", True))
+
+    target = load_image(
+        img_path, max_size=target_size, alpha_premultiply=premultiply
+    )
     densities = tuple(float(s) for s in args.densities.split(","))
 
+    print(
+        f"protocol: base_size={base_size} target_size={target_size} "
+        f"image_scale={image_scale:.3f} seed_radius={seed_radius} "
+        f"steps={args.steps} img={img_path}"
+    )
     results = density_sweep(
         params, cfg, h, target,
-        base_size=args.base_size, densities=densities,
+        base_size=base_size, densities=densities,
         steps=args.steps, jitter=args.jitter, seed=args.seed,
+        image_scale=image_scale, seed_radius=seed_radius,
     )
 
     print(f"{'density':>8} {'particles':>10} {'PSNR dB':>9} {'SSIM':>7}")

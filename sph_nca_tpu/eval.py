@@ -159,21 +159,30 @@ def density_sweep(
     jitter: float = 0.0,
     seed: int = 0,
     eval_size: Optional[int] = None,
+    image_scale: float = 1.0,
+    seed_radius: Optional[float] = None,
 ) -> List[Dict[str, float]]:
     """Train-once/generate-anywhere: PSNR/SSIM vs particle density.
 
     Density d resamples the plane at (base_size * sqrt(d))^2 particles
-    (regular grid, optionally jittered); the rollout render is compared
-    to the target at ``eval_size`` (default base_size).
+    (regular grid, optionally jittered). The comparison must reproduce
+    the TRAINING geometry (reference train.py:82, losses.py:23-41): the
+    target occupies only the central ``image_scale`` fraction of the
+    [-1,1]^2 domain, so the render/compare window is that subregion, not
+    the whole plane. ``base_size`` is the training image_size (1x density
+    == the trained particle spacing) and ``seed_radius`` the training
+    seed radius — using different values measures a different protocol
+    and badly understates PSNR (see RESULTS.md round-2 note).
     """
     from .utils.geometry import grange
 
-    eval_size = eval_size or base_size
+    eval_size = eval_size or int(target_img.shape[0])
     tgt = np.asarray(
         jax.image.resize(
             jnp.asarray(target_img), (eval_size, eval_size, 4), "bilinear"
         )
     )
+    s = float(image_scale)
     rng = np.random.default_rng(seed)
     results = []
     for d in densities:
@@ -186,9 +195,26 @@ def density_sweep(
                 rng.uniform(-jitter, jitter, x2.shape).astype(np.float32)
             ) * (2.0 / m)
         rgba = rollout_on_points(
-            params, cfg, x2, h, steps, jax.random.key(seed)
+            params, cfg, x2, h, steps, jax.random.key(seed),
+            seed_radius=seed_radius,
         )
-        img = render_points(np.asarray(x2), np.clip(rgba, 0, 1), eval_size)
+        # Compare over the image subregion [-s, s]^2 only. Render at a
+        # resolution the particle density can fill (no empty bins), then
+        # resize to the target resolution.
+        xn = np.asarray(x2)
+        inside = np.all(np.abs(xn) <= s + 1e-6, axis=1)
+        r = min(eval_size, max(8, int(np.floor(m * s))))
+        img = render_points(
+            xn[inside], np.clip(rgba[inside], 0, 1), r,
+            gmin=(-s, -s), gsize=(2 * s, 2 * s),
+        )
+        if r != eval_size:
+            img = np.asarray(
+                jax.image.resize(
+                    jnp.asarray(img), (eval_size, eval_size, img.shape[-1]),
+                    "bilinear",
+                )
+            )
         results.append(
             {
                 "density": float(d),
