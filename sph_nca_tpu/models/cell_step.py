@@ -199,6 +199,189 @@ def rollout_cells(
     return RolloutOut(final=final, collected=buf)
 
 
+def _blockdiag_mlp_weights(params: MLPParams, b: int, f: int, dtype):
+    """Expand the per-sample update MLP into block-diagonal weights that
+    contract the LANE-batched y [rows, 3*B*F] directly.
+
+    Any operand whose minor dim is the per-sample feature count (48/33)
+    is lane-padded ~3-8x by TPU tiling, and assembling it from the
+    128-lane state costs more in relayouts than the GEMM itself
+    (profiled, RESULTS.md round 2). Instead the weights are expanded so
+    the contraction runs over the full lane axis:
+
+      W1x [3*B*F, B*H]  with  W1x[(part,b,fi), (b2,j)] = W1[part*F+fi, j] * (b==b2)
+      W2x [B*H, B*O]    block-diagonal per sample
+
+    8x redundant FLOPs, but the MXU has ~100x headroom over the
+    bandwidth-bound pair pass, and zero relayouts remain. Built from
+    params only — XLA hoists the expansion out of the rollout scan.
+    """
+    w1, b1, w2, b2 = params.w1, params.b1, params.w2, params.b2
+    hid = w1.shape[1]
+    out = w2.shape[1]
+    eye = jnp.eye(b, dtype=dtype)
+    # [3F, hid] -> [3, F, hid]; place per sample: [3, B, F, B, hid]
+    w1x = (
+        w1.astype(dtype).reshape(3, 1, f, 1, hid)
+        * eye[None, :, None, :, None]
+    ).reshape(3 * b * f, b * hid)
+    w2x = (
+        w2.astype(dtype).reshape(1, hid, 1, out) * eye[:, None, :, None]
+    ).reshape(b * hid, b * out)
+    b1x = jnp.tile(b1.astype(dtype), b)
+    b2x = jnp.tile(b2.astype(dtype), b)
+    return w1x, b1x, w2x, b2x
+
+
+def nca_step_cells_batched(
+    params: MLPParams,
+    cfg: SPHNCAConfig,
+    eng: CellEngine,
+    SB: Array,  # [C, M, B*F]
+    b: int,
+    key: Array,
+    h,
+    fire_rate: Optional[float] = None,
+    mlp_dtype: Optional[str] = None,
+) -> Array:
+    """One NCA step over B same-geometry rollouts batched into the lane
+    dimension (ops/batched.py layout). Semantically nca_step_cells per
+    sample; the fire mask draws an independent Bernoulli per (slot,
+    sample). This is the TPU throughput path: every hot operand keeps a
+    128-lane-multiple minor dim (no relayouts) and the pair tables are
+    read once per batch.
+
+    ``mlp_dtype="bfloat16"`` runs the expanded update MLP in bf16 (the
+    throughput setting); default f32 with Precision.HIGH semantics via
+    three bf16 passes is approximated by HIGHEST on the expanded GEMM.
+    """
+    from ..ops.batched import mask_blur_batched, perceive_cells_batched
+
+    if fire_rate is None:
+        fire_rate = cfg.fire_rate
+    c = cfg.channels
+    C, M = SB.shape[0], SB.shape[1]
+    f = SB.shape[-1] // b
+    rows = C * M
+
+    gaB, pre_sm = perceive_cells_batched(
+        eng, SB, b, cfg.use_alpha
+    )  # [C, M, D*B*F] d-major lanes, [C, M, B]
+    prev_mask = pre_sm > ALIVE_THRESHOLD
+
+    scale = h * cfg.normalize_perception if cfg.normalize_perception > 0 \
+        else jnp.float32(1.0)
+    ydt = jnp.dtype(mlp_dtype) if mlp_dtype else SB.dtype
+    bf = b * f
+    # y lanes: [A | gA_x | gA_y] per sample block — ONE lane concat of
+    # 128-lane arrays, no interleaving (reference nca.py:23-31 order)
+    y = jnp.concatenate(
+        [
+            SB.reshape(rows, bf).astype(ydt),
+            (scale * gaB[..., :2 * bf]).reshape(rows, 2 * bf).astype(ydt),
+        ],
+        axis=-1,
+    )  # [rows, 3*B*F]
+
+    w1x, b1x, w2x, b2x = _blockdiag_mlp_weights(params, b, f, ydt)
+    prec = (
+        jax.lax.Precision.DEFAULT if mlp_dtype else jax.lax.Precision.HIGHEST
+    )
+    hmid = jnp.maximum(jnp.matmul(y, w1x, precision=prec) + b1x, 0.0)
+    dA = (
+        jnp.matmul(hmid, w2x, precision=prec) + b2x
+    ).astype(jnp.float32)  # [rows, B*out], out = 2C+1 ('gated') or C
+
+    out = dA.shape[-1] // b
+    lane_b = jnp.repeat(jnp.arange(b) * out, f)  # [B*F]
+    lane_f = jnp.tile(jnp.arange(f), b)
+    SB2 = SB.reshape(rows, bf)
+    if cfg.update_rule == "gated":
+        # lane-extract per-sample channel groups (cheap lane gathers on
+        # [rows, B*out]; everything stays 128-lane)
+        gate = jax.nn.sigmoid(jnp.take(dA, lane_b + lane_f, axis=-1))
+        delta = jnp.tanh(jnp.take(dA, lane_b + c + lane_f, axis=-1))
+        mult = jax.nn.sigmoid(
+            jnp.take(dA, lane_b + (out - 1), axis=-1)
+        )  # [rows, B*F] (out-1 column repeated per feature lane)
+        nS = SB2 * gate + delta * mult
+    elif cfg.update_rule == "orig":
+        dAf = jnp.take(dA, lane_b + lane_f, axis=-1)
+        nS = SB2 + dAf * (cfg.fire_rate / fire_rate)
+    else:
+        raise ValueError(f"unknown update rule {cfg.update_rule!r}")
+
+    u = jax.random.uniform(key, (rows, b))
+    fire = jnp.repeat(u <= fire_rate, f, axis=-1)  # [rows, B*F]
+    nS = jnp.where(fire, nS, SB2)
+    nSB = nS.reshape(C, M, bf)
+
+    new_sm = mask_blur_batched(
+        eng, jax.lax.stop_gradient(nSB), b, cfg.use_alpha
+    )
+    new_mask = new_sm > ALIVE_THRESHOLD
+    living = jnp.repeat(
+        (prev_mask & new_mask).reshape(rows, b), f, axis=-1
+    ).astype(nS.dtype)
+    return (nS * living).reshape(C, M, bf)
+
+
+def rollout_cells_batched(
+    params: MLPParams,
+    cfg: SPHNCAConfig,
+    eng: CellEngine,
+    SB0: Array,  # [C, M, B*F]
+    b: int,
+    key: Array,
+    max_steps: int,
+    h,
+    *,
+    n_steps: Optional[Array] = None,  # [B] per-sample step counts
+    fire_rate: Optional[float] = None,
+    collect_steps: Optional[Array] = None,
+    remat: bool = True,
+    mlp_dtype: Optional[str] = None,
+):
+    """Scan rollout of the batched step; mirrors rollout_cells.
+    ``n_steps`` may be per-sample [B] (progressive-growing rollouts
+    freeze finished samples in place, reference nca.py:138-140)."""
+    from .rollout import RolloutOut
+
+    f = SB0.shape[-1] // b
+
+    def step_fn(S, k):
+        return nca_step_cells_batched(params, cfg, eng, S, b, k, h,
+                                      fire_rate=fire_rate,
+                                      mlp_dtype=mlp_dtype)
+
+    if remat:
+        step_fn = jax.checkpoint(step_fn)
+
+    collect = collect_steps is not None
+    buf0 = (
+        jnp.broadcast_to(SB0, (collect_steps.shape[0],) + SB0.shape)
+        if collect
+        else None
+    )
+
+    def body(carry, t):
+        S, buf = carry
+        nS = step_fn(S, jax.random.fold_in(key, t))
+        if n_steps is not None:
+            live = (t < n_steps)  # [B]
+            keep = jnp.repeat(live, f)  # lane mask [B*F]
+            nS = jnp.where(keep[None, None, :], nS, S)
+        if collect:
+            hit = (collect_steps == t + 1)[:, None, None, None]
+            buf = jnp.where(hit, nS[None], buf)
+        return (nS, buf), None
+
+    (final, buf), _ = jax.lax.scan(
+        body, (SB0, buf0), jnp.arange(max_steps), length=max_steps
+    )
+    return RolloutOut(final=final, collected=buf)
+
+
 def rollout_states_cells(
     params: MLPParams,
     cfg: SPHNCAConfig,

@@ -1,0 +1,160 @@
+"""Batched-lane engine ops (ops/batched.py, the TPU throughput path):
+per-sample parity with the unbatched cell paths, autodiff, and the
+batched NCA step/rollout.
+
+The batched layout packs B same-geometry rollouts into the lane
+dimension (SB [C, M, B*F]); every op must equal the unbatched op applied
+to each sample independently. All batched ops are pure XLA, so parity
+bounds are accumulation-order-level (~1e-5 relative), not kernel-level.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sph_nca_tpu.models import SPHNCAConfig, init_params
+from sph_nca_tpu.models.cell_step import (
+    nca_step_cells,
+    nca_step_cells_batched,
+    rollout_cells,
+    rollout_cells_batched,
+)
+from sph_nca_tpu.ops.batched import (
+    batched_gather_back,
+    batched_scatter,
+    blur_batched,
+    mask_blur_batched,
+    perceive_cells_batched,
+)
+from sph_nca_tpu.ops.cells import build_cell_engine
+from sph_nca_tpu.ops.pallas.pair_kernel import (
+    fused_perception_pallas,
+    mask_blur_pallas,
+)
+
+N, F, B, H = 220, 8, 3, 0.3
+
+
+def scene(rng, periodic=False, dtype="float32"):
+    x = jnp.asarray(rng.uniform(-1, 1, (N, 3)).astype(np.float32))
+    period = jnp.asarray([2.0] * 3) if periodic else None
+    eng = build_cell_engine(x, H, period=period, pair_tables=dtype)
+    A = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    return eng, A
+
+
+def rel_err(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = float(np.sqrt(np.mean(a * a))) + 1e-6
+    return float(np.abs(a - b).max()) / scale
+
+
+def test_scatter_roundtrip(rng):
+    eng, A = scene(rng)
+    SB = batched_scatter(eng, A)
+    back = batched_gather_back(eng, SB, B)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(A))
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_perception_matches_unbatched(rng, periodic):
+    eng, A = scene(rng, periodic)
+    SB = batched_scatter(eng, A)
+    gaB, smB = perceive_cells_batched(eng, SB, B, use_alpha=True)
+    c, m, d = eng.xs.shape
+    gaB = gaB.reshape(c, m, d, B, F)
+    for i in range(B):
+        S = eng.scatter(A[i])
+        ga_r, sm_r = fused_perception_pallas(eng, S, use_alpha=True)
+        # fused_perception_pallas returns [C, M, F, D]; batched is d-major
+        assert rel_err(ga_r, jnp.swapaxes(gaB[:, :, :, i], 2, 3)) < 2e-5
+        assert rel_err(sm_r, smB[..., i]) < 2e-5
+
+
+def test_mask_blur_matches_unbatched(rng):
+    eng, A = scene(rng)
+    SB = batched_scatter(eng, A)
+    smB = mask_blur_batched(eng, SB, B, use_alpha=True)
+    for i in range(B):
+        S = eng.scatter(A[i])
+        sm_r = mask_blur_pallas(eng, S, use_alpha=True)
+        assert rel_err(sm_r, smB[..., i]) < 2e-5
+
+
+def test_blur_batched_matches_engine_blur(rng):
+    eng, A = scene(rng)
+    SB = batched_scatter(eng, A)
+    out = batched_gather_back(eng, blur_batched(eng, SB, B), B)
+    for i in range(B):
+        # compare in particle space: pad-slot outputs are don't-care
+        # (no dummy row — see ops/cells.py layout comment)
+        ref = eng.gather_back(eng.blur(eng.scatter(A[i])))
+        assert rel_err(ref, out[i]) < 2e-5
+
+
+def test_batched_step_matches_unbatched_fr1(rng):
+    """fire_rate=1 removes RNG: the batched step must equal per-sample
+    nca_step_cells (which routes through the same tables)."""
+    eng, A = scene(rng)
+    cfg = SPHNCAConfig(channels=F, hidden=32, normalize_perception=1.0 / H)
+    params = init_params(jax.random.key(0), cfg)
+    SB = batched_scatter(eng, A)
+    outB = nca_step_cells_batched(
+        params, cfg, eng, SB, B, jax.random.key(1), H, fire_rate=1.0
+    )
+    outB = batched_gather_back(eng, outB, B)
+    for i in range(B):
+        S = eng.scatter(A[i])
+        out = nca_step_cells(
+            params, cfg, eng, S, jax.random.key(1), H, fire_rate=1.0
+        )
+        assert rel_err(eng.gather_back(out), outB[i]) < 5e-5
+
+
+def test_batched_rollout_runs_and_freezes(rng):
+    """Per-sample n_steps freezes finished samples exactly."""
+    eng, A = scene(rng)
+    cfg = SPHNCAConfig(channels=F, hidden=32, normalize_perception=1.0 / H)
+    params = init_params(jax.random.key(0), cfg)
+    SB = batched_scatter(eng, A)
+    n_steps = jnp.asarray([1, 3, 3])
+    out = rollout_cells_batched(
+        params, cfg, eng, SB, B, jax.random.key(2), 3, H,
+        n_steps=n_steps, fire_rate=1.0,
+    )
+    full = rollout_cells_batched(
+        params, cfg, eng, SB, B, jax.random.key(2), 1, H, fire_rate=1.0,
+    )
+    got = batched_gather_back(eng, out.final, B)
+    one = batched_gather_back(eng, full.final, B)
+    # sample 0 stopped after 1 step == the 1-step rollout
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(one[0]), rtol=1e-6, atol=1e-7
+    )
+    # samples with more steps differ from the 1-step state
+    assert np.abs(np.asarray(got[1] - one[1])).max() > 1e-4
+
+
+def test_batched_perception_grad(rng):
+    """Autodiff flows through the batched tables (pure XLA): finite
+    differences on a scalar loss."""
+    eng, A = scene(rng)
+
+    def loss(AB):
+        SB = batched_scatter(eng, AB)
+        ga, _ = perceive_cells_batched(eng, SB, B, use_alpha=True)
+        return jnp.sum(ga**2) / ga.size
+
+    g = jax.grad(loss)(A)
+    rng2 = np.random.default_rng(3)
+    v = jnp.asarray(rng2.normal(size=A.shape).astype(np.float32))
+    # forward-mode reference (an f32 finite difference is noise-limited
+    # at ~5e-3 relative here); rev-vs-fwd consistency catches vjp bugs
+    _, jv = jax.jvp(loss, (A,), (v,))
+    an = jnp.sum(g * v)
+    assert abs(float(jv - an)) < 1e-4 * (abs(float(jv)) + 1e-6) + 1e-7
+    # and a coarse FD sanity bound
+    eps = 1e-3
+    fd = (loss(A + eps * v) - loss(A - eps * v)) / (2 * eps)
+    assert abs(float(fd - an)) < 2e-2 * (abs(float(fd)) + 1e-6) + 1e-6
