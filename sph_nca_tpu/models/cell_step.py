@@ -199,7 +199,8 @@ def rollout_cells(
     return RolloutOut(final=final, collected=buf)
 
 
-def _blockdiag_mlp_weights(params: MLPParams, b: int, f: int, dtype):
+def _blockdiag_mlp_weights(params: MLPParams, b: int, f: int, c: int,
+                           update_rule: str, dtype):
     """Expand the per-sample update MLP into block-diagonal weights that
     contract the LANE-batched y [rows, 3*B*F] directly.
 
@@ -210,26 +211,43 @@ def _blockdiag_mlp_weights(params: MLPParams, b: int, f: int, dtype):
     the contraction runs over the full lane axis:
 
       W1x [3*B*F, B*H]  with  W1x[(part,b,fi), (b2,j)] = W1[part*F+fi, j] * (b==b2)
-      W2x [B*H, B*O]    block-diagonal per sample
+      W2x [B*H, ...]    block-diagonal per sample, with its OUTPUT
+                        columns pre-permuted into lane-aligned groups:
+                        gated: [gate (B*F) | delta (B*F) | mult (B)]
+                        orig:  [dA (B*F)]
+                        so the update rule consumes aligned slices
+                        instead of strided lane-gathers.
 
-    8x redundant FLOPs, but the MXU has ~100x headroom over the
+    ~8x redundant FLOPs, but the MXU has ~100x headroom over the
     bandwidth-bound pair pass, and zero relayouts remain. Built from
     params only — XLA hoists the expansion out of the rollout scan.
     """
     w1, b1, w2, b2 = params.w1, params.b1, params.w2, params.b2
     hid = w1.shape[1]
-    out = w2.shape[1]
     eye = jnp.eye(b, dtype=dtype)
-    # [3F, hid] -> [3, F, hid]; place per sample: [3, B, F, B, hid]
     w1x = (
         w1.astype(dtype).reshape(3, 1, f, 1, hid)
         * eye[None, :, None, :, None]
     ).reshape(3 * b * f, b * hid)
-    w2x = (
-        w2.astype(dtype).reshape(1, hid, 1, out) * eye[:, None, :, None]
-    ).reshape(b * hid, b * out)
     b1x = jnp.tile(b1.astype(dtype), b)
-    b2x = jnp.tile(b2.astype(dtype), b)
+
+    def expand_cols(wcols, bcols):
+        # [hid, K] per-sample -> [B*hid, B*K] block-diagonal
+        k = wcols.shape[1]
+        wx = (
+            wcols.astype(dtype).reshape(1, hid, 1, k)
+            * eye[:, None, :, None]
+        ).reshape(b * hid, b * k)
+        return wx, jnp.tile(bcols.astype(dtype), b)
+
+    if update_rule == "gated":
+        wg, bg = expand_cols(w2[:, :c], b2[:c])
+        wd, bd = expand_cols(w2[:, c : 2 * c], b2[c : 2 * c])
+        wm, bm = expand_cols(w2[:, -1:], b2[-1:])
+        w2x = jnp.concatenate([wg, wd, wm], axis=1)
+        b2x = jnp.concatenate([bg, bd, bm])
+    else:  # orig
+        w2x, b2x = expand_cols(w2[:, :c], b2[:c])
     return w1x, b1x, w2x, b2x
 
 
@@ -283,31 +301,27 @@ def nca_step_cells_batched(
         axis=-1,
     )  # [rows, 3*B*F]
 
-    w1x, b1x, w2x, b2x = _blockdiag_mlp_weights(params, b, f, ydt)
+    w1x, b1x, w2x, b2x = _blockdiag_mlp_weights(
+        params, b, f, c, cfg.update_rule, ydt
+    )
     prec = (
         jax.lax.Precision.DEFAULT if mlp_dtype else jax.lax.Precision.HIGHEST
     )
     hmid = jnp.maximum(jnp.matmul(y, w1x, precision=prec) + b1x, 0.0)
     dA = (
         jnp.matmul(hmid, w2x, precision=prec) + b2x
-    ).astype(jnp.float32)  # [rows, B*out], out = 2C+1 ('gated') or C
+    ).astype(jnp.float32)  # columns are lane-aligned groups (see above)
 
-    out = dA.shape[-1] // b
-    lane_b = jnp.repeat(jnp.arange(b) * out, f)  # [B*F]
-    lane_f = jnp.tile(jnp.arange(f), b)
     SB2 = SB.reshape(rows, bf)
     if cfg.update_rule == "gated":
-        # lane-extract per-sample channel groups (cheap lane gathers on
-        # [rows, B*out]; everything stays 128-lane)
-        gate = jax.nn.sigmoid(jnp.take(dA, lane_b + lane_f, axis=-1))
-        delta = jnp.tanh(jnp.take(dA, lane_b + c + lane_f, axis=-1))
+        gate = jax.nn.sigmoid(dA[:, :bf])
+        delta = jnp.tanh(dA[:, bf : 2 * bf])
         mult = jax.nn.sigmoid(
-            jnp.take(dA, lane_b + (out - 1), axis=-1)
-        )  # [rows, B*F] (out-1 column repeated per feature lane)
+            jnp.repeat(dA[:, 2 * bf :], f, axis=-1)
+        )  # [rows, B] -> per-feature lanes
         nS = SB2 * gate + delta * mult
     elif cfg.update_rule == "orig":
-        dAf = jnp.take(dA, lane_b + lane_f, axis=-1)
-        nS = SB2 + dAf * (cfg.fire_rate / fire_rate)
+        nS = SB2 + dA * (cfg.fire_rate / fire_rate)
     else:
         raise ValueError(f"unknown update rule {cfg.update_rule!r}")
 

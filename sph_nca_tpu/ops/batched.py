@@ -84,6 +84,20 @@ def _win_gather(flat: Array, wc: Array, m: int) -> Array:
     return flat[wc].reshape(nb, wu * m, -1)
 
 
+def _win_gather_slots(slot_flat: Array, wc: Array, m: int) -> Array:
+    """slot_flat [C*M, L] -> [nb, Wu*M, L] via slot-granularity row
+    indices. Same result as _win_gather with the [Wu, M*L] -> [Wu*M, L]
+    relayout folded into the gather. Measured on the 100k bench: the 8x
+    row count costs slightly more than the relayout it saves (15.4 vs
+    14.8 ms/step), so _win_gather stays the default; kept as the
+    measured alternative for geometries with fatter cells."""
+    nb, wu = wc.shape
+    ws = (wc[..., None] * m + jnp.arange(m, dtype=wc.dtype)).reshape(
+        nb, wu * m
+    )
+    return slot_flat[ws]
+
+
 @partial(jax.jit, static_argnames=("b", "use_alpha"))
 def perceive_cells_batched(
     eng: CellEngine,
