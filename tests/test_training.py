@@ -205,6 +205,41 @@ def test_trainer_on_cell_engine_learns():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.3
 
 
+def test_trainer_on_batched_lane_engine_learns():
+    """Same smoke training through the batched-lane table path (the
+    engine built with pair_tables routes Trainer.run_rollout through
+    ops/batched.py — the TPU throughput path)."""
+    from sph_nca_tpu.ops.cells import build_cell_engine
+
+    m, h = 16, 0.25
+    x = grange((m, m), jnp.asarray([-1.0, -1.0]), jnp.asarray([2.0, 2.0]))
+    x = x.reshape(-1, 2)
+    eng = build_cell_engine(x, h, pair_tables="float32")
+    assert eng.blk_md is not None
+
+    img = np.zeros((8, 8, 4), np.float32)
+    img[..., 0], img[..., 1], img[..., 3] = 1.0, 0.5, 1.0
+    model_cfg = SPHNCAConfig(
+        channels=8, hidden=32, normalize_perception=1.0 / h, use_alpha=False
+    )
+    bundle = make_mse_bundle(
+        jnp.asarray(img),
+        MSELossConfig(gmin=(-1, -1), gsize=(2, 2), image_scale=1.0,
+                      use_alpha=False),
+    )
+    tc = TrainConfig(batch_size=2, pool_size=8, steps_range=(6, 10),
+                     steps_increment=2, lr=5e-3, lr_decay_steps=60)
+    tr = Trainer(model_cfg, tc, eng, x, bundle, h)
+    pool = Pool(
+        np.asarray(x),
+        np.asarray(plane_seed(x, 8, gmin=(-1, -1), gsize=(2, 2), radius=h)),
+        tc.pool_size,
+    )
+    losses = [tr.run_iteration(i, pool) for i in range(40)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.3
+
+
 def test_trainer_wrapped_periodic_learns():
     """Wrapped (periodic) training through the cell engine: the TPU-native
     replacement for the reference's ghost-particle path (nca.py:245-299)."""
