@@ -263,3 +263,48 @@ def test_sharded_perception_adjoint_matches():
     np.testing.assert_allclose(
         np.asarray(g_sh), np.asarray(g_un), rtol=1e-5, atol=1e-6
     )
+
+
+def test_batched_lane_rollout_sharded_matches_unsharded():
+    """Batched-lane rollout (ops/batched.py) sharded over the particle
+    axis via GSPMD: pair tables stay device-local (the dominant memory),
+    cross-shard window reads lower to collectives. Must equal the
+    unsharded rollout exactly (same math, fire_rate=1)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sph_nca_tpu.models import SPHNCAConfig, init_params
+    from sph_nca_tpu.models.cell_step import rollout_cells_batched
+    from sph_nca_tpu.ops.batched import batched_gather_back, batched_scatter
+    from sph_nca_tpu.ops.cells import build_cell_engine
+    from sph_nca_tpu.parallel import make_mesh, shard_cell_engine
+    from sph_nca_tpu.utils.geometry import grange
+
+    mesh = make_mesh(jax.devices()[:8], data=1)
+    npart = mesh.shape["particle"]
+    h, B = 0.25, 3
+    x = grange((20, 20), jnp.asarray([-1.0, -1.0]), jnp.asarray([2.0, 2.0]))
+    x = x.reshape(-1, 2)
+    eng = build_cell_engine(
+        np.asarray(x), h, n_shards=npart, pair_tables="float32",
+        xla_tables=False,
+    )
+    cfg = SPHNCAConfig(channels=8, hidden=32, normalize_perception=1.0 / h)
+    params = init_params(jax.random.key(0), cfg)
+    A0 = jax.random.uniform(jax.random.key(1), (B, x.shape[0], 8))
+    SB0 = batched_scatter(eng, A0)
+
+    roll = lambda e, S: rollout_cells_batched(
+        params, cfg, e, S, B, jax.random.key(2), 3, h, fire_rate=1.0,
+    ).final
+    ref = jax.jit(roll)(eng, SB0)
+
+    eng_s = shard_cell_engine(eng, mesh)
+    SB0_s = jax.device_put(SB0, NamedSharding(mesh, P("particle")))
+    out = jax.jit(roll)(eng_s, SB0_s)
+
+    a = np.asarray(batched_gather_back(eng, ref, B))
+    b = np.asarray(batched_gather_back(eng, out, B))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
