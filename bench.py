@@ -54,8 +54,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/sph_nca_jax_cache")
 
     from sph_nca_tpu.models import SPHNCAConfig, init_params
-    from sph_nca_tpu.models.cell_step import rollout_cells_batched
-    from sph_nca_tpu.ops.batched import batched_scatter
+    from sph_nca_tpu.models.surface import (
+        normalize,
+        orthogonalize,
+        rollout_mesh_batched,
+    )
     from sph_nca_tpu.ops.cells import build_cell_engine
 
     x_np = fibonacci_sphere(N_POINTS)
@@ -73,24 +76,29 @@ def main():
     A0 = jax.random.uniform(
         jax.random.key(1), (BATCH, N_POINTS, cfg.channels)
     )
-    SB0 = batched_scatter(eng, A0)
+    # the TRUE surface step (reference sample_mesh, nca.py:338-381):
+    # tangent-projected perception + per-step tangent diffusion —
+    # not the cheaper plain-plane step
+    nrm = jnp.asarray(x_np / np.linalg.norm(x_np, axis=-1, keepdims=True))
+    t0r = jax.random.normal(jax.random.key(5), (BATCH, N_POINTS, 3))
+    tan0 = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
 
     roll = jax.jit(
-        lambda e, S, key: rollout_cells_batched(
-            params, cfg, e, S, BATCH, key, STEPS, h,
-            remat=False, mlp_dtype="bfloat16",
-        ).final
+        lambda e, A, t, key: rollout_mesh_batched(
+            params, cfg, e, A, nrm, t, key, STEPS, h,
+            mlp_dtype="bfloat16",
+        )[0]
     )
 
     # warmup/compile; force full completion with a host readback
     # (block_until_ready alone does not block under the axon tunnel)
-    np.asarray(roll(eng, SB0, jax.random.key(2)).ravel()[:1])
+    np.asarray(roll(eng, A0, tan0, jax.random.key(2)).ravel()[:1])
 
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
         np.asarray(
-            roll(eng, SB0, jax.random.key(3 + rep)).ravel()[:1]
+            roll(eng, A0, tan0, jax.random.key(3 + rep)).ravel()[:1]
         )
         best = min(best, time.perf_counter() - t0)
 
@@ -100,7 +108,8 @@ def main():
             {
                 "metric": (
                     "particle-steps/sec, 100k-point 3D surface NCA "
-                    "rollouts, batch 8 (aggregate)"
+                    "rollouts (tangent perception + diffusion), "
+                    "batch 8 aggregate"
                 ),
                 "value": value,
                 "unit": "particle-steps/sec",

@@ -261,6 +261,7 @@ def nca_step_cells_batched(
     h,
     fire_rate: Optional[float] = None,
     mlp_dtype: Optional[str] = None,
+    perception_transform=None,
 ) -> Array:
     """One NCA step over B same-geometry rollouts batched into the lane
     dimension (ops/batched.py layout). Semantically nca_step_cells per
@@ -286,6 +287,10 @@ def nca_step_cells_batched(
         eng, SB, b, cfg.use_alpha
     )  # [C, M, D*B*F] d-major lanes, [C, M, B]
     prev_mask = pre_sm > ALIVE_THRESHOLD
+    if perception_transform is not None:
+        # e.g. tangent projection for surface rollouts
+        # (models/surface.project_tangent_space_lanes)
+        gaB = perception_transform(gaB)
 
     scale = h * cfg.normalize_perception if cfg.normalize_perception > 0 \
         else jnp.float32(1.0)
@@ -355,6 +360,7 @@ def rollout_cells_batched(
     collect_steps: Optional[Array] = None,
     remat: bool = True,
     mlp_dtype: Optional[str] = None,
+    perception_transform=None,
 ):
     """Scan rollout of the batched step; mirrors rollout_cells.
     ``n_steps`` may be per-sample [B] (progressive-growing rollouts
@@ -366,7 +372,8 @@ def rollout_cells_batched(
     def step_fn(S, k):
         return nca_step_cells_batched(params, cfg, eng, S, b, k, h,
                                       fire_rate=fire_rate,
-                                      mlp_dtype=mlp_dtype)
+                                      mlp_dtype=mlp_dtype,
+                                      perception_transform=perception_transform)
 
     if remat:
         step_fn = jax.checkpoint(step_fn)

@@ -226,3 +226,188 @@ def rollout_mesh_cells(
     if collect_all:
         states = jnp.concatenate([A0[None], states], axis=0)
     return final_A, eng.gather_back(final_t), states
+
+
+# ---------------------------------------------------------------------------
+# Batched-lane (throughput-path) mesh rollout — ops/batched.py layout
+# ---------------------------------------------------------------------------
+
+
+def project_tangent_space_lanes(
+    gaB: Array, nc: Array, tc: Array, b: int
+) -> Array:
+    """Tangent projection on d-major LANE blocks (ops/batched.py):
+    gaB [C, M, 3*B*F] -> [C, M, 3*B*F] with blocks [gA.t | gA.bitan |
+    gA.n] (reference nca.py:325-330). The tangent frame is per SLOT
+    (geometry static, shared across the batch); each output block is a
+    per-slot-weighted sum of the three input blocks — pure 128-lane
+    elementwise math, no relayout."""
+    C, M = gaB.shape[0], gaB.shape[1]
+    bf = gaB.shape[-1] // 3
+    bit = jnp.cross(nc, tc)
+    blocks = [gaB[..., i * bf : (i + 1) * bf] for i in range(3)]
+    outs = []
+    for basis in (tc, bit, nc):
+        acc = blocks[0] * basis[..., 0:1]
+        acc = acc + blocks[1] * basis[..., 1:2]
+        acc = acc + blocks[2] * basis[..., 2:3]
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _expand_lanes(a: Array, f: int) -> Array:
+    """[rows, B] -> [rows, B*F] with each column repeated F times,
+    as a one-hot matmul (an MXU pass; jnp.repeat lowers to
+    broadcast_in_dim relayouts that profiled at ~0.7 ms each here)."""
+    b = a.shape[-1]
+    e = jnp.zeros((b, b * f), a.dtype).at[
+        jnp.repeat(jnp.arange(b), f), jnp.arange(b * f)
+    ].set(1.0)
+    return jax.lax.dot_general(
+        a, e, (((1,), (0,)), ((), ())), preferred_element_type=a.dtype
+    )
+
+
+def diffuse_batched(
+    eng,
+    nc: Array,  # [C, M, 3] shared normals
+    tB: Array,  # [C, M, 3*B] per-sample tangents, d-major lane blocks
+    SB: Array,  # [C, M, B*F]
+    b: int,
+    *,
+    lerp_multiplier: float = 1.0,
+    w_multiplier: float = 1.0,
+    use_alpha: bool = True,
+) -> Array:
+    """Batched tangent diffusion (reference nca.py:312-323) through the
+    batched poly6 blur, entirely in [rows, B] lane-block math (shapes
+    ending in 3 pad 128/3x and every op on them relayouts — profiled).
+    tB layout: [t_x (B) | t_y (B) | t_z (B)]."""
+    from ..ops.batched import blur_batched
+
+    C, M = SB.shape[0], SB.shape[1]
+    rows = C * M
+    f = SB.shape[-1] // b
+    if use_alpha:
+        alpha = jnp.take(
+            SB.reshape(rows, b * f), jnp.arange(b) * f + 3, axis=-1
+        )
+    else:
+        alpha = jnp.ones((rows, b), SB.dtype)
+    w = jnp.clip(alpha, 0.0, 1.0)  # [rows, B]
+    m = (1.0 - w_multiplier) + w * w_multiplier
+    t2 = tB.reshape(rows, 3 * b)
+    td = [t2[:, i * b : (i + 1) * b] for i in range(3)]
+    # blur input lanes d-major: [m(B) | m*t_x(B) | m*t_y(B) | m*t_z(B)]
+    mt = jnp.concatenate([m] + [m * t for t in td], axis=-1)
+    mt2 = blur_batched(eng, mt.reshape(C, M, 4 * b), b).reshape(rows, 4 * b)
+    denom = 1e-8 + mt2[:, :b]
+    lerp = w * lerp_multiplier
+    nd = [nc.reshape(rows, 3)[:, i : i + 1] for i in range(3)]
+    t2d = []
+    for i in range(3):
+        ti = mt2[:, (i + 1) * b : (i + 2) * b] / denom
+        t2d.append(ti + (td[i] - ti) * lerp)
+    # orthogonalize against the shared normal, renormalize (per sample)
+    ndot = t2d[0] * nd[0] + t2d[1] * nd[1] + t2d[2] * nd[2]
+    t2d = [t2d[i] - nd[i] * ndot for i in range(3)]
+    norm = jnp.sqrt(t2d[0] ** 2 + t2d[1] ** 2 + t2d[2] ** 2)
+    t2d = [t / (1e-8 + norm) for t in t2d]
+    return jnp.concatenate(t2d, axis=-1).reshape(C, M, 3 * b)
+
+
+def _project_lanes_batchedT(gaB: Array, nc: Array, tB: Array, b: int) -> Array:
+    """Tangent projection with PER-SAMPLE tangents in d-major lane
+    blocks (tB [C, M, 3*B]): output d-major blocks [gA.t | gA.bitan |
+    gA.n] (reference nca.py:325-330). Per-axis coefficients expand
+    [rows, B] -> [rows, B*F] via one MXU one-hot matmul each; the rest
+    is fused 128-lane elementwise math."""
+    C, M = gaB.shape[0], gaB.shape[1]
+    bf = gaB.shape[-1] // 3
+    f = bf // b
+    rows = C * M
+    t2 = tB.reshape(rows, 3 * b)
+    td = [t2[:, i * b : (i + 1) * b] for i in range(3)]
+    nd = [nc.reshape(rows, 3)[:, i : i + 1] for i in range(3)]  # [rows,1]
+    # bitangent = n x t, computed in [rows, B] blocks (n broadcasts)
+    bd = [
+        nd[1] * td[2] - nd[2] * td[1],
+        nd[2] * td[0] - nd[0] * td[2],
+        nd[0] * td[1] - nd[1] * td[0],
+    ]
+    ga = [gaB.reshape(rows, 3 * bf)[:, i * bf : (i + 1) * bf]
+          for i in range(3)]
+    tE = [_expand_lanes(td[i], f) for i in range(3)]
+    bE = [_expand_lanes(bd[i], f) for i in range(3)]
+    out_t = ga[0] * tE[0] + ga[1] * tE[1] + ga[2] * tE[2]
+    out_b = ga[0] * bE[0] + ga[1] * bE[1] + ga[2] * bE[2]
+    out_n = ga[0] * nd[0] + ga[1] * nd[1] + ga[2] * nd[2]
+    return jnp.concatenate([out_t, out_b, out_n], axis=-1).reshape(
+        C, M, 3 * bf
+    )
+
+
+def rollout_mesh_batched(
+    params,
+    cfg,
+    eng,
+    A0: Array,  # [B, N, C]
+    n: Array,  # [N, 3]
+    t0: Array,  # [B, N, 3]
+    key: Array,
+    n_steps: int,
+    h,
+    *,
+    fire_rate: Optional[float] = None,
+    lerp_multiplier: float = 1.0,
+    w_multiplier: float = 1.0,
+    mlp_dtype: Optional[str] = None,
+):
+    """Batch-B mesh/3D-surface rollout on the batched-lane engine — the
+    aggregate-throughput form of rollout_mesh_cells (reference
+    ``sample_mesh``, nca.py:338-381): per step, tangent-projected
+    perception + detached per-sample tangent diffusion.
+
+    Returns (final_A [B, N, C], final_T [B, N, 3])."""
+    from ..ops.batched import batched_gather_back, batched_scatter
+    from .cell_step import nca_step_cells_batched
+
+    b = A0.shape[0]
+    C, M = eng.xs.shape[0], eng.xs.shape[1]
+    rows = C * M
+    SB0 = batched_scatter(eng, A0)
+    nc = eng.scatter(n)
+    # tangents to d-major lane blocks [rows, 3*B]
+    t_cm = batched_scatter(eng, t0).reshape(rows, b, 3)
+    tB0 = jnp.concatenate(
+        [t_cm[..., d] for d in range(3)], axis=-1
+    ).reshape(C, M, 3 * b)
+
+    def body(carry, step_i):
+        SB, tB = carry
+        nSB = nca_step_cells_batched(
+            params, cfg, eng, SB, b, jax.random.fold_in(key, step_i), h,
+            fire_rate=fire_rate, mlp_dtype=mlp_dtype,
+            perception_transform=lambda ga: _project_lanes_batchedT(
+                ga, nc, tB, b
+            ),
+        )
+        ntB = jax.lax.stop_gradient(
+            diffuse_batched(
+                eng, nc, tB, nSB, b,
+                lerp_multiplier=lerp_multiplier,
+                w_multiplier=w_multiplier,
+                use_alpha=cfg.use_alpha,
+            )
+        )
+        return (nSB, ntB), None
+
+    (final_S, final_t), _ = jax.lax.scan(
+        body, (SB0, tB0), jnp.arange(n_steps)
+    )
+    ft = final_t.reshape(rows, 3, b)  # d-major blocks -> [B, N, 3]
+    ft = jnp.swapaxes(ft, 1, 2).reshape(C, M, b * 3)
+    return (
+        batched_gather_back(eng, final_S, b),
+        batched_gather_back(eng, ft, b),
+    )

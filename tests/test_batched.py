@@ -158,3 +158,41 @@ def test_batched_perception_grad(rng):
     eps = 1e-3
     fd = (loss(A + eps * v) - loss(A - eps * v)) / (2 * eps)
     assert abs(float(fd - an)) < 2e-2 * (abs(float(fd)) + 1e-6) + 1e-6
+
+
+def test_batched_mesh_rollout_matches_per_sample(rng):
+    """rollout_mesh_batched == rollout_mesh_cells per sample at
+    fire_rate=1 (tangent-projected perception + tangent diffusion on
+    the batched-lane engine)."""
+    from sph_nca_tpu.models.surface import (
+        normalize,
+        orthogonalize,
+        rollout_mesh_batched,
+        rollout_mesh_cells,
+    )
+
+    n_pts = 200
+    # points on a sphere with outward normals
+    x = rng.normal(size=(n_pts, 3)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True) + 1e-9
+    x *= 0.8
+    nrm = jnp.asarray(x / 0.8)
+    eng = build_cell_engine(jnp.asarray(x), H, pair_tables="float32")
+    cfg = SPHNCAConfig(channels=F, hidden=32, normalize_perception=1.0 / H)
+    params = init_params(jax.random.key(0), cfg)
+    Bm = 2
+    A0 = jnp.asarray(rng.normal(size=(Bm, n_pts, F)).astype(np.float32))
+    t0r = jnp.asarray(rng.normal(size=(Bm, n_pts, 3)).astype(np.float32))
+    t0 = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
+
+    fa, ft = rollout_mesh_batched(
+        params, cfg, eng, A0, nrm, t0, jax.random.key(1), 3, H,
+        fire_rate=1.0,
+    )
+    for i in range(Bm):
+        ra, rt, _ = rollout_mesh_cells(
+            params, cfg, eng, A0[i], nrm, t0[i], jax.random.key(1), 3, H,
+            fire_rate=1.0,
+        )
+        assert rel_err(ra, fa[i]) < 1e-4
+        assert rel_err(rt, ft[i]) < 1e-4
