@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".npy with a precomputed normalized text "
                         "embedding [512] (overrides --clip_guide encoding)")
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument(
+        "--device_pool", type=str, default="auto",
+        choices=("auto", "on", "off"),
+        help="keep the replay pool in device HBM (auto: when < 4 GB)",
+    )
     p.add_argument("--engine", choices=["cells", "graph"], default="cells",
                    help="neighborhood engine: cell-dense+Pallas (fast) or "
                         "fixed-K neighbor lists")
@@ -357,7 +362,15 @@ def main(argv=None) -> int:
         randomized=(args.initial_feature == "random"),
         key=key,
     )
-    pool = Pool(
+    # device-resident pool when it fits comfortably in HBM (zero
+    # host<->device state traffic per iteration; iterations pipeline)
+    pool_bytes = args.pool_size * x2.shape[0] * args.channels * 4
+    pool_cls = Pool
+    if args.device_pool == "on" or (
+        args.device_pool == "auto" and pool_bytes < 4e9
+    ):
+        from ..training.pool import DevicePool as pool_cls  # noqa: N813
+    pool = pool_cls(
         np.asarray(x2),
         np.asarray(A_seed),
         args.pool_size,
@@ -372,13 +385,16 @@ def main(argv=None) -> int:
                 trainer.opt_state, resume_ck["opt_state"]
             )
         rs = load_resume_state(resume_path)
-        if rs["pool_A"].shape != pool.A.shape:
+        if rs["pool_A"].shape != tuple(pool.A.shape):
             raise SystemExit(
                 f"--resume pool shape {rs['pool_A'].shape} does not match "
-                f"current config {pool.A.shape}; rerun with the original "
-                "flags"
+                f"current config {tuple(pool.A.shape)}; rerun with the "
+                "original flags"
             )
-        pool.A[:] = rs["pool_A"]
+        if hasattr(pool, "load_state"):
+            pool.load_state(rs["pool_A"])
+        else:
+            pool.A[:] = rs["pool_A"]
         pool.rng.bit_generator.state = rs["pool_rng"]
         trainer.set_rng_state(rs["np_rng"], rs["key_data"])
         start_iter = int(resume_ck["step"])
@@ -386,7 +402,6 @@ def main(argv=None) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
     run_id = time.strftime("%m%d%H%M")
     t_start = time.time()
-    losses = []
     from ..utils.profiling import MetricsLogger
 
     metrics = MetricsLogger(
@@ -419,7 +434,7 @@ def main(argv=None) -> int:
             rng = trainer.rng_state()
             save_resume_state(
                 ck_path,
-                pool_A=pool.A,
+                pool_A=np.asarray(pool.A),
                 key_data=rng["key_data"],
                 np_rng_state=rng["np_rng"],
                 pool_rng_state=pool.rng.bit_generator.state,
@@ -439,13 +454,13 @@ def main(argv=None) -> int:
 
     for i in range(start_iter, args.training_iter + 1):
         loss = trainer.run_iteration(i, pool)
-        losses.append(loss)
         if i % 200 == 199:
             # long-run hygiene: reference cycles can delay freeing of
             # per-iteration host/device buffers (observed unbounded RSS
             # growth over multi-hour runs under tunneled PJRT backends)
             gc.collect()
         if i % args.log_every == 0:
+            loss = float(loss)  # sync point (device-pool path defers)
             rate = (i + 1 - start_iter) / (time.time() - t_start)
             rss = _rss_gb()
             print(
@@ -464,7 +479,7 @@ def main(argv=None) -> int:
                 )
                 return 42
         if (i + 1) % args.checkpoint_every == 0:
-            save_all(i + 1, loss)
+            save_all(i + 1, float(loss))
 
     metrics.close()
     print(f"Done! total {time.time() - t_start:.1f}s")

@@ -271,8 +271,8 @@ def nca_step_cells_batched(
     read once per batch.
 
     ``mlp_dtype="bfloat16"`` runs the expanded update MLP in bf16 (the
-    throughput setting); default f32 with Precision.HIGH semantics via
-    three bf16 passes is approximated by HIGHEST on the expanded GEMM.
+    throughput setting); the default keeps f32 at Precision.HIGH
+    (bf16x3), apply_mlp's documented accuracy class.
     """
     from ..ops.batched import mask_blur_batched, perceive_cells_batched
 
@@ -309,8 +309,11 @@ def nca_step_cells_batched(
     w1x, b1x, w2x, b2x = _blockdiag_mlp_weights(
         params, b, f, c, cfg.update_rule, ydt
     )
+    # HIGH = bf16x3 passes (~tf32), matching apply_mlp's documented
+    # choice; HIGHEST (full f32) tripled the training backward's GEMM
+    # time for accuracy beyond the reference's f32-fastmath CUDA
     prec = (
-        jax.lax.Precision.DEFAULT if mlp_dtype else jax.lax.Precision.HIGHEST
+        jax.lax.Precision.DEFAULT if mlp_dtype else jax.lax.Precision.HIGH
     )
     hmid = jnp.maximum(jnp.matmul(y, w1x, precision=prec) + b1x, 0.0)
     dA = (
