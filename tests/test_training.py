@@ -272,3 +272,40 @@ def test_trainer_wrapped_periodic_learns():
     losses = [tr.run_iteration(i, pool) for i in range(40)]
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.5
+
+
+def test_device_pool_matches_host_pool_semantics():
+    """DevicePool sample/update/replace flow preserves Pool's contract:
+    same index law (shared numpy Generator), states round-trip, damage
+    ops produce the documented effects."""
+    from sph_nca_tpu.training.pool import DevicePool
+
+    n, c = 50, 4
+    x = np.random.default_rng(0).uniform(-1, 1, (n, 2)).astype(np.float32)
+    seed_A = np.random.default_rng(1).random((n, c)).astype(np.float32)
+
+    hp = Pool(x, seed_A, 16, rng=np.random.default_rng(7))
+    dp = DevicePool(x, seed_A, 16, rng=np.random.default_rng(7))
+
+    hi, hA = hp.sample(4)
+    di, dA = dp.sample(4)
+    np.testing.assert_array_equal(hi, di)  # same index stream
+    np.testing.assert_allclose(np.asarray(dA), hA)
+
+    # update writes back on device
+    newA = np.random.default_rng(2).random((4, n, c)).astype(np.float32)
+    dp.update(di, jnp.asarray(newA))
+    _, dA2 = dp.sample(16)  # whole pool
+    got = np.asarray(dp.A)[di]
+    np.testing.assert_allclose(got, newA, rtol=1e-6)
+
+    # erase_radius zeroes a disk in every sample
+    _, dmg = dp.sample(4, erase_radius=0.5)
+    dmg = np.asarray(dmg)
+    assert (np.abs(dmg) < 1e-9).all(axis=-1).any(), "no erased disk found"
+
+    # state round-trip (resume path)
+    snap = dp.state_np()
+    dp.update(jnp.asarray([0]), jnp.zeros((1, n, c)))
+    dp.load_state(snap)
+    np.testing.assert_allclose(np.asarray(dp.A), snap)
