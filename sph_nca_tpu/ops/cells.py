@@ -763,8 +763,26 @@ def _finalize_from_blocks(
         nbk = ops[0].shape[0]
         outs = []
         for c0 in range(0, nbk, chunk):
-            sl = slice(c0, min(c0 + chunk, nbk))
-            outs.append(np.asarray(fn(*[o[sl] for o in ops])))
+            end = min(c0 + chunk, nbk)
+            parts = [o[c0:end] for o in ops]
+            if end - c0 < chunk and nbk > chunk:
+                # pad the tail chunk to the full chunk shape: one
+                # compiled program per (bucket, pass) instead of two
+                # (each extra compile costs ~20-60 s on the tunneled
+                # backend); pad rows sit at PAD_POS -> zero pair terms,
+                # and the rows are sliced away below anyway
+                pad = chunk - (end - c0)
+                parts = [
+                    np.concatenate(
+                        [np.asarray(o),
+                         np.full((pad,) + o.shape[1:], PAD_POS,
+                                 np.asarray(o).dtype)]
+                    )
+                    for o in parts
+                ]
+                outs.append(np.asarray(fn(*parts))[: end - c0])
+            else:
+                outs.append(np.asarray(fn(*parts)))
         return np.concatenate(outs, 0) if outs else None
 
     inv = np.zeros((nb, P), np.float32)
@@ -853,13 +871,25 @@ def _build_pair_tables(
         ddim, p, wdim = xs_b.shape[1], xs_b.shape[2], xw_b.shape[2]
         mds, w6s, gss = [], [], []
         for c0 in range(0, nbk, chunk):
-            sl = slice(c0, min(c0 + chunk, nbk))
-            m, w = _blk_pair_mats(xs_b[sl], xw_b[sl], eng.h, dtype)
-            mds.append(m)
-            w6s.append(w)
+            end = min(c0 + chunk, nbk)
+            xs_c, xw_c, vw_c = xs_b[c0:end], xw_b[c0:end], vw_b[c0:end]
+            keep = end - c0
+            if keep < chunk and nbk > chunk:
+                # pad the tail chunk (see _finalize_from_blocks.run):
+                # avoids a second compiled shape per bucket
+                pad = chunk - keep
+                xs_c = jnp.concatenate(
+                    [xs_c, jnp.full((pad, ddim, p), PAD_POS)], 0)
+                xw_c = jnp.concatenate(
+                    [xw_c, jnp.full((pad, ddim, wdim), PAD_POS)], 0)
+                vw_c = jnp.concatenate(
+                    [vw_c, jnp.zeros((pad, wdim))], 0)
+            m, w = _blk_pair_mats(xs_c, xw_c, eng.h, dtype)
+            gs = np.asarray(_blk_gsum_from_tables(m, vw_c, eng.sig_g))
+            mds.append(m[:keep])
+            w6s.append(w[:keep])
             # [nbk, D*P] d-major -> [nbk, P, D]
-            gs = np.asarray(_blk_gsum_from_tables(m, vw_b[sl], eng.sig_g))
-            gss.append(gs.reshape(-1, ddim, p).transpose(0, 2, 1))
+            gss.append(gs[:keep].reshape(-1, ddim, p).transpose(0, 2, 1))
         if not mds:
             return (jnp.zeros((0, ddim * p, wdim), dtype),
                     jnp.zeros((0, p, wdim), dtype),
