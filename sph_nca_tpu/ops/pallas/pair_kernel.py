@@ -66,9 +66,14 @@ def _pair_d2(xbT, xwT):
 
 
 def _spiky_mag(d2, h):
-    d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
-    inside = (d2 > 0.0) & (d < h)
-    return jnp.where(inside, 3.0 * (h - d) ** 2 / d, 0.0)
+    """3(h-d)^2/d in the rsqrt form 3((h^2+d2)*r - 2h), r = 1/sqrt(d2):
+    one transcendental and no divide per pair (the VPU-bound recompute
+    kernels spend most of their time in this function). Algebraically
+    identical: 3(h-d)^2/d = 3(h^2 - 2hd + d^2)/d = 3((h^2+d^2)/d - 2h).
+    """
+    r = jax.lax.rsqrt(jnp.where(d2 > 0.0, d2, 1.0))
+    inside = (d2 > 0.0) & (d2 < h * h)
+    return jnp.where(inside, 3.0 * ((h * h + d2) * r - 2.0 * h), 0.0)
 
 
 def _fwd_kernel(
