@@ -196,7 +196,7 @@ def _damage(A, x, key, degrade_prob: float, erase_radius: float):
     import jax.numpy as jnp
 
     b, n, f = A.shape
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3 = jax.random.split(key, 3)
     if degrade_prob > 0.0:
         mask = jax.random.uniform(k1, (b, n)) < degrade_prob
         repl = jax.random.uniform(k2, A.shape)
