@@ -196,10 +196,28 @@ def main(argv=None) -> int:
 
         print(f"surface rollout: n={x.shape[0]}, {args.steps} steps")
         t0_wall = time.time()
-        _, _, states = rollout_mesh(
-            params, cfg, graph, diffuse_graph, A, n_vec, t, key,
-            args.steps, h, fire_rate=args.firerate, collect_all=True,
-        )
+        if args.engine == "cells" and abs(h - DIFFUSE_H) < 1e-9:
+            # fast path: tangent perception + diffusion on the
+            # cell-dense engine's pair tables (models/surface.
+            # rollout_mesh_cells); valid when the diffusion radius
+            # equals the model h (true for every shipped config —
+            # the reference hard-codes 0.1 for both, nca.py:357)
+            from ..models.surface import rollout_mesh_cells
+            from ..ops.cells import build_cell_engine
+
+            ceng = build_cell_engine(
+                np.asarray(x), h, pair_tables="bfloat16",
+                xla_tables=False,
+            )
+            _, _, states = rollout_mesh_cells(
+                params, cfg, ceng, A, n_vec, t, key,
+                args.steps, h, fire_rate=args.firerate, collect_all=True,
+            )
+        else:
+            _, _, states = rollout_mesh(
+                params, cfg, graph, diffuse_graph, A, n_vec, t, key,
+                args.steps, h, fire_rate=args.firerate, collect_all=True,
+            )
         states = np.asarray(states)
         print(f"rollout {time.time() - t0_wall:.1f}s")
 
