@@ -754,6 +754,17 @@ def _finalize_from_blocks(
     """Volumes + gradient self-term computed from the BLOCK structures in
     chunked device passes — O(P*W*chunk) working memory, no per-cell
     window tables (the xla_tables=False path for large N)."""
+    import os as _os
+    import time as _time
+    _prof = bool(_os.environ.get("SPH_NCA_BUILD_PROFILE"))
+    _t = [_time.time()]
+
+    def _tick(stage):
+        if _prof:
+            now = _time.time()
+            print(f"    fin[{stage}]: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     C, M, D = eng.xs.shape
     P = eng.blk_xs.shape[2]
     nb = C * M // P
@@ -788,11 +799,13 @@ def _finalize_from_blocks(
     inv = np.zeros((nb, P), np.float32)
     o1 = run(lambda a, b: _blk_vol_rows(a, b, h, sig_w), b1_idx,
              eng.blk_xs, eng.blk_xw)
+    _tick("vol_b1")
     if o1 is not None and len(b1_idx):
         inv[b1_idx] = o1
     if len(b2_idx):
         inv[b2_idx] = run(lambda a, b: _blk_vol_rows(a, b, h, sig_w),
                           b2_idx, eng.blk2_xs, eng.blk2_xw)
+    _tick("vol_b2")
 
     pad_slot = np.asarray((eng.xs >= PAD_POS / 2).any(-1))  # [C, M]
     v = np.where(inv > 0.0, 1.0 / np.maximum(inv, 1e-30), 0.0)
@@ -802,6 +815,7 @@ def _finalize_from_blocks(
     wc2 = np.asarray(eng.blk2_win_cells)
     blk_vw = vs[wc1].reshape(wc1.shape[0], wc1.shape[1] * M)
     blk2_vw = vs[wc2].reshape(wc2.shape[0], wc2.shape[1] * M)
+    _tick("vw_gather")
 
     gsum = np.zeros((nb, P, D), np.float32)
     if len(b1_idx):
@@ -816,6 +830,7 @@ def _finalize_from_blocks(
         )
 
     gsum = np.where(pad_slot[..., None], 0.0, gsum.reshape(C, M, D))
+    _tick("gsum")
     return eng._replace(
         vs=jnp.asarray(vs),
         gsum=jnp.asarray(gsum.astype(np.float32)),
@@ -897,8 +912,13 @@ def _build_pair_tables(
         return (jnp.concatenate(mds, 0), jnp.concatenate(w6s, 0),
                 np.concatenate(gss, 0))
 
+    import os as _os
+    import time as _time
+    _t0 = _time.time()
     md1, w61, gs1 = run(eng.blk_xs, eng.blk_xw, eng.blk_vw)
     md2, w62, gs2 = run(eng.blk2_xs, eng.blk2_xw, eng.blk2_vw)
+    if _os.environ.get("SPH_NCA_BUILD_PROFILE"):
+        print(f"    tab[chunks]: {_time.time() - _t0:.2f}s", flush=True)
 
     gsum = np.zeros((nb, P, D), np.float32)
     if len(b1_idx):
