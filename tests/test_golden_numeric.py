@@ -137,3 +137,34 @@ def test_golden_step_numpy_demo_engine(fix, model):
     )
     nA = eng.step(np.asarray(fix["A0"], np.float32), fire_rate=1.0)
     np.testing.assert_allclose(nA, fix["nA1"], rtol=2e-4, atol=2e-5)
+
+
+def test_golden_step_batched_lane_engine(fix, model):
+    """The batched-lane table path (ops/batched.py — the throughput
+    engine bench.py measures) reproduces the reference math per sample
+    with f32 tables."""
+    import jax
+    import jax.numpy as jnp
+
+    from sph_nca_tpu.models.cell_step import nca_step_cells_batched
+    from sph_nca_tpu.ops.batched import batched_gather_back, batched_scatter
+    from sph_nca_tpu.ops.cells import build_cell_engine
+
+    h = float(fix["h"])
+    eng = build_cell_engine(
+        jnp.asarray(fix["x"], jnp.float32), h, pair_tables="float32",
+        xla_tables=False,
+    )
+    b = 2
+    AB = jnp.broadcast_to(
+        jnp.asarray(fix["A0"], jnp.float32)[None],
+        (b,) + fix["A0"].shape,
+    )
+    SB = batched_scatter(eng, AB)
+    SB = nca_step_cells_batched(
+        model.params, model.cfg, eng, SB, b, jax.random.key(0), h,
+        fire_rate=1.0,
+    )
+    out = np.asarray(batched_gather_back(eng, SB, b))
+    for i in range(b):
+        np.testing.assert_allclose(out[i], fix["nA1"], rtol=5e-4, atol=5e-5)
