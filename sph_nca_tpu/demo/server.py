@@ -29,7 +29,45 @@ class DemoState:
     """The simulation loop state shared with the HTTP handlers."""
 
     def __init__(self, args):
-        with open(args.weights_json) as f:
+        self.lock = threading.Lock()
+        # available weight files: the given file, or every *.json next
+        # to it (reference UI's weights selector, main.js)
+        wpath = args.weights_json
+        wdir = os.path.dirname(os.path.abspath(wpath))
+        self.weights_files = {
+            os.path.splitext(f)[0]: os.path.join(wdir, f)
+            for f in sorted(os.listdir(wdir))
+            if f.endswith(".json")
+        }
+        self.current = dict(
+            weights=os.path.splitext(os.path.basename(wpath))[0],
+            size=args.size,
+            pattern=getattr(args, "pattern", "square"),
+            jitter=args.jitter,
+            spatial_jitter=bool(getattr(args, "spatial_jitter", False)),
+        )
+        self._build()
+
+    def reconfigure(self, **kw):
+        """Rebuild the engine with changed settings (reference UI's
+        weights/resolution/pattern/noise selectors)."""
+        allowed = {"weights", "size", "pattern", "jitter", "spatial_jitter"}
+        with self.lock:
+            for k, v in kw.items():
+                if k in allowed and v is not None:
+                    if k == "size":
+                        v = max(16, min(256, int(v)))
+                    if k == "jitter":
+                        v = max(0.0, min(1.0, float(v)))
+                    self.current[k] = v
+        self._build()
+
+    def _build(self):
+        wname = self.current["weights"]
+        path = self.weights_files.get(wname)
+        if path is None:
+            raise ValueError(f"unknown weights {wname!r}")
+        with open(path) as f:
             data = json.load(f)
         cfgj = data["config"]
         layers = sorted(data["layers"], key=lambda l: l["index"])
@@ -41,14 +79,14 @@ class DemoState:
         }
         h = float(cfgj.get("h", 0.08))
         self.mode = cfgj.get("mode", "image")
-        self.size = args.size
+        self.size = int(self.current["size"])
         self.channels = int(cfgj.get("input_features", 48)) // 3
 
         # particle point patterns (reference inference-worker.js:60-110 +
         # utils.js pointUtils): square or hexagonal lattice, with uniform
         # or spatially-varying jitter
         spacing = 2.0 / self.size
-        if getattr(args, "pattern", "square") == "hex":
+        if self.current["pattern"] == "hex":
             # rows at spacing*sqrt(3)/2, odd rows offset half a spacing
             # (utils.js createHexagonalGrid)
             vs = spacing * np.sqrt(3.0) / 2.0
@@ -66,10 +104,11 @@ class DemoState:
             lin = (np.arange(self.size) + 0.5) / self.size * 2.0 - 1.0
             gx, gy = np.meshgrid(lin, lin, indexing="ij")
             x = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
-        if args.jitter > 0:
+        jit = float(self.current["jitter"])
+        if jit > 0:
             rng = np.random.default_rng(0)
-            noise = rng.uniform(-args.jitter, args.jitter, x.shape)
-            if getattr(args, "spatial_jitter", False):
+            noise = rng.uniform(-jit, jit, x.shape)
+            if self.current["spatial_jitter"]:
                 # noise grows across the domain (utils.js addSpatialNoise)
                 fac = 0.5 * ((x[:, 0] + 1.0) / 2.0 + (x[:, 1] + 1.0) / 2.0)
                 noise = noise * fac[:, None]
@@ -89,7 +128,6 @@ class DemoState:
             period=period,
         )
         self.x = x
-        self.lock = threading.Lock()
         self.reset()
 
     def reset(self):
@@ -171,19 +209,33 @@ def make_handler(state: DemoState):
             elif self.path.startswith("/reset"):
                 state.reset()
                 self._send(200, b"{}")
+            elif self.path.startswith("/info"):
+                self._send(200, json.dumps({
+                    "current": state.current,
+                    "mode": state.mode,
+                    "n_particles": int(state.x.shape[0]),
+                    "weights": sorted(state.weights_files),
+                }).encode())
             else:
                 self._send(404, b"{}")
 
         def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n)) if n else {}
             if self.path.startswith("/brush"):
-                n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n))
                 state.brush(
                     float(req["x"]), float(req["y"]),
                     float(req.get("radius", 0.15)),
                     req.get("kind", "damage"),
                 )
                 self._send(200, b"{}")
+            elif self.path.startswith("/config"):
+                try:
+                    state.reconfigure(**req)
+                    self._send(200, b"{}")
+                except (ValueError, KeyError) as e:
+                    self._send(400, json.dumps(
+                        {"error": str(e)}).encode())
             else:
                 self._send(404, b"{}")
 

@@ -106,3 +106,42 @@ def test_hex_pattern_and_spatial_jitter(tmp_path):
     state.step()
     assert np.isfinite(state.A).all()
     assert len(state.frame()) == 12 * 12 * 4
+
+
+def test_info_and_config_endpoints(server):
+    """/info reports the current configuration; /config rebuilds the
+    engine live (reference UI's weights/resolution/pattern selectors)."""
+    url, state = server
+    info = json.loads(urllib.request.urlopen(url + "/info").read())
+    assert info["current"]["size"] == 12
+    assert info["current"]["weights"] in info["weights"]
+    n0 = info["n_particles"]
+
+    req = urllib.request.Request(
+        url + "/config",
+        data=json.dumps({"size": 16, "pattern": "hex",
+                         "jitter": 0.3}).encode(),
+        method="POST",
+    )
+    urllib.request.urlopen(req)
+    info2 = json.loads(urllib.request.urlopen(url + "/info").read())
+    assert info2["current"]["size"] == 16
+    assert info2["current"]["pattern"] == "hex"
+    assert info2["n_particles"] != n0
+    # frames still stream after reconfigure
+    body = urllib.request.urlopen(url + "/frame").read()
+    mlen = struct.unpack("<I", body[:4])[0]
+    meta = json.loads(body[4 : 4 + mlen])
+    assert meta["size"] == 16
+
+    # unknown weights -> 400, state unchanged
+    bad = urllib.request.Request(
+        url + "/config", data=json.dumps({"weights": "nope"}).encode(),
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(bad)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
