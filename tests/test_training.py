@@ -241,14 +241,19 @@ def test_trainer_on_batched_lane_engine_learns():
 
 
 def test_trainer_wrapped_periodic_learns():
-    """Wrapped (periodic) training through the cell engine: the TPU-native
-    replacement for the reference's ghost-particle path (nca.py:245-299)."""
+    """Wrapped (periodic) training through the BATCHED cell engine +
+    DevicePool: the TPU-native replacement for the reference's
+    ghost-particle path (nca.py:245-299), on the exact stack the OT
+    texture CLI config uses."""
     from sph_nca_tpu.ops.cells import build_cell_engine
+    from sph_nca_tpu.training.pool import DevicePool
 
     m, h = 16, 0.25
     x = grange((m, m), jnp.asarray([-1.0, -1.0]), jnp.asarray([2.0, 2.0]))
     x = x.reshape(-1, 2)
-    eng = build_cell_engine(x, h, period=jnp.asarray([2.0, 2.0]))
+    eng = build_cell_engine(
+        x, h, period=jnp.asarray([2.0, 2.0]), pair_tables="float32"
+    )
 
     img = np.zeros((8, 8, 4), np.float32)
     img[..., 2], img[..., 3] = 0.9, 1.0
@@ -263,13 +268,13 @@ def test_trainer_wrapped_periodic_learns():
     tc = TrainConfig(batch_size=2, pool_size=8, steps_range=(6, 10),
                      steps_increment=2, lr=5e-3, lr_decay_steps=60)
     tr = Trainer(model_cfg, tc, eng, x, bundle, h)
-    pool = Pool(
+    pool = DevicePool(
         np.asarray(x),
         np.asarray(plane_seed(x, 8, gmin=(-1, -1), gsize=(2, 2), radius=h,
                               randomized=True, key=jax.random.key(0))),
         tc.pool_size, randomized_feat=True,
     )
-    losses = [tr.run_iteration(i, pool) for i in range(40)]
+    losses = [float(tr.run_iteration(i, pool)) for i in range(40)]
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.5
 
