@@ -6,6 +6,13 @@ count, blur), restructured around static-shape fixed-K neighbor lists.
 """
 
 from . import dense
+from .batched import (
+    batched_gather_back,
+    batched_scatter,
+    blur_batched,
+    mask_blur_batched,
+    perceive_cells_batched,
+)
 from .cells import CellEngine, build_cell_engine
 from .kernels import (
     DEFAULT_GRADIENT,
