@@ -262,6 +262,7 @@ def nca_step_cells_batched(
     fire_rate: Optional[float] = None,
     mlp_dtype: Optional[str] = None,
     perception_transform=None,
+    block_chunks: int = 1,
 ) -> Array:
     """One NCA step over B same-geometry rollouts batched into the lane
     dimension (ops/batched.py layout). Semantically nca_step_cells per
@@ -284,7 +285,7 @@ def nca_step_cells_batched(
     rows = C * M
 
     gaB, pre_sm = perceive_cells_batched(
-        eng, SB, b, cfg.use_alpha
+        eng, SB, b, cfg.use_alpha, block_chunks
     )  # [C, M, D*B*F] d-major lanes, [C, M, B]
     prev_mask = pre_sm > ALIVE_THRESHOLD
     if perception_transform is not None:
@@ -364,6 +365,7 @@ def rollout_cells_batched(
     remat: bool = True,
     mlp_dtype: Optional[str] = None,
     perception_transform=None,
+    block_chunks: int = 1,
 ):
     """Scan rollout of the batched step; mirrors rollout_cells.
     ``n_steps`` may be per-sample [B] (progressive-growing rollouts
@@ -376,7 +378,8 @@ def rollout_cells_batched(
         return nca_step_cells_batched(params, cfg, eng, S, b, k, h,
                                       fire_rate=fire_rate,
                                       mlp_dtype=mlp_dtype,
-                                      perception_transform=perception_transform)
+                                      perception_transform=perception_transform,
+                                      block_chunks=block_chunks)
 
     if remat:
         step_fn = jax.checkpoint(step_fn)

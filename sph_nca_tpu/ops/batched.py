@@ -98,12 +98,13 @@ def _win_gather_slots(slot_flat: Array, wc: Array, m: int) -> Array:
     return slot_flat[ws]
 
 
-@partial(jax.jit, static_argnames=("b", "use_alpha"))
+@partial(jax.jit, static_argnames=("b", "use_alpha", "block_chunks"))
 def perceive_cells_batched(
     eng: CellEngine,
     SB: Array,  # [C, M, B*F]
     b: int,
     use_alpha: bool = True,
+    block_chunks: int = 1,
 ) -> Tuple[Array, Array]:
     """Fused batched perception + pre-step life-mask blur.
 
@@ -159,37 +160,55 @@ def perceive_cells_batched(
             row0 += nbk
             continue
         sl = slice(row0, row0 + nbk)
-        Sw = _win_gather(Sv_flat, wc, m)  # [nbk, W, B*F]
-        # dot in the TABLE dtype: upcasting a bf16 table would
-        # materialize an f32 copy of the whole table EVERY STEP
-        # (profiled); downcasting the (8x smaller) gathered states is
-        # the cheap direction. With f32 tables this is exact.
-        mom = jax.lax.dot_general(
-            md, Sw.astype(md.dtype),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [nbk, 3P, B*F]
-        # assemble the corrected gradient as LANE blocks (d-major): any
-        # shape whose minor dim is 16 gets lane-padded 8x by TPU tiling
-        # and every op on it becomes a relayout (profiled) — so the d
-        # axis is concatenated into lanes, never split out
-        ga = jnp.concatenate(
-            [
-                eng.sig_g * mom[:, i * p : (i + 1) * p]
-                - SBr[sl] * gsum[sl][..., i : i + 1]
-                for i in range(d)
-            ],
-            axis=-1,
-        )  # [nbk, P, D*B*F] d-major lane blocks
-        gas.append(ga)
 
-        acolw = _win_gather(acol_flat, wc, m)  # [nbk, W, B]
-        sm = jax.lax.dot_general(
-            w6, acolw,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [nbk, P, B]
-        sms.append(eng.sig_w * sm)
+        def one_chunk(md_c, w6_c, wc_c, SBr_c, gsum_c):
+            Sw = _win_gather(Sv_flat, wc_c, m)  # [nbc, W, B*F]
+            # dot in the TABLE dtype: upcasting a bf16 table would
+            # materialize an f32 copy of the whole table EVERY STEP
+            # (profiled); downcasting the (8x smaller) gathered states
+            # is the cheap direction. With f32 tables this is exact.
+            mom = jax.lax.dot_general(
+                md_c, Sw.astype(md_c.dtype),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [nbc, 3P, B*F]
+            # assemble the corrected gradient as LANE blocks (d-major):
+            # any shape whose minor dim is 16 gets lane-padded 8x by TPU
+            # tiling and every op on it becomes a relayout (profiled) —
+            # so the d axis is concatenated into lanes, never split out
+            ga = jnp.concatenate(
+                [
+                    eng.sig_g * mom[:, i * p : (i + 1) * p]
+                    - SBr_c * gsum_c[..., i : i + 1]
+                    for i in range(d)
+                ],
+                axis=-1,
+            )  # [nbc, P, D*B*F] d-major lane blocks
+            acolw = _win_gather(acol_flat, wc_c, m)  # [nbc, W, B]
+            sm = jax.lax.dot_general(
+                w6_c, acolw,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [nbc, P, B]
+            return ga, eng.sig_w * sm
+
+        # largest divisor of the bucket size <= the requested chunking
+        k = max(d for d in range(1, block_chunks + 1) if nbk % d == 0)
+        if k > 1:
+            # bound peak memory at the 1e6+ regime: the window gather +
+            # mom intermediates are O(pairs); lax.map over k block
+            # chunks keeps only 1/k of them live at once
+            ops_ = [
+                a.reshape((k, nbk // k) + a.shape[1:])
+                for a in (md, w6, wc, SBr[sl], gsum[sl])
+            ]
+            ga, sm = jax.lax.map(lambda t: one_chunk(*t), tuple(ops_))
+            ga = ga.reshape((nbk,) + ga.shape[2:])
+            sm = sm.reshape((nbk,) + sm.shape[2:])
+        else:
+            ga, sm = one_chunk(md, w6, wc, SBr[sl], gsum[sl])
+        gas.append(ga)
+        sms.append(sm)
         row0 += nbk
 
     gaB = jnp.concatenate(gas, 0).reshape(c, m, d * b * f)

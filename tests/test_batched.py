@@ -196,3 +196,20 @@ def test_batched_mesh_rollout_matches_per_sample(rng):
         )
         assert rel_err(ra, fa[i]) < 1e-4
         assert rel_err(rt, ft[i]) < 1e-4
+
+
+def test_block_chunked_perception_matches(rng):
+    """block_chunks (the large-N memory bound) must not change results."""
+    eng, A = scene(rng)
+    cfg = SPHNCAConfig(channels=F, hidden=32, normalize_perception=1.0 / H)
+    params = init_params(jax.random.key(0), cfg)
+    SB = batched_scatter(eng, A)
+    a = nca_step_cells_batched(
+        params, cfg, eng, SB, B, jax.random.key(1), H, fire_rate=1.0
+    )
+    bb = nca_step_cells_batched(
+        params, cfg, eng, SB, B, jax.random.key(1), H, fire_rate=1.0,
+        block_chunks=2,
+    )
+    assert rel_err(batched_gather_back(eng, a, B),
+                   batched_gather_back(eng, bb, B)) < 1e-5
