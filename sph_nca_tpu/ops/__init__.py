@@ -6,6 +6,7 @@ count, blur), restructured around static-shape fixed-K neighbor lists.
 """
 
 from . import dense
+from .bands import BandEngine, build_band_engine
 from .batched import (
     batched_gather_back,
     batched_scatter,
@@ -43,7 +44,9 @@ from .neighbor_ops import (
 )
 
 __all__ = [
+    "BandEngine",
     "CellEngine",
+    "build_band_engine",
     "DEFAULT_GRADIENT",
     "DEFAULT_SMOOTHING",
     "NeighborList",

@@ -1,0 +1,712 @@
+"""Band SPH engine — curve-banded pair structure, the TPU throughput path.
+
+Round-3 redesign of the pair pass. The cell-dense engine (ops/cells.py)
+pays for every (row, window-slot) candidate pair: on the 100k bench its
+89M candidate pairs cover only 2.95M true neighbor pairs (~30x waste in
+table bytes), and its per-cell window gather costs ~2 ms/step (XLA row
+gathers stream HBM at only ~0.08-0.17 TB/s on this chip, measured).
+This engine restructures the computation around the space-filling curve
+instead of around cells:
+
+  * particles are sorted by the Morton rank of their cell (size h) and
+    grouped into blocks of P=64 consecutive rows — no slot padding, rows
+    are exactly the particles;
+  * ~80% of true pairs connect rows whose blocks are curve-adjacent
+    (measured on the 100k surface bench). Those are covered by a BAND
+    window: blocks [b-1, b, b+1], assembled with two `jnp.roll`s and a
+    concat — sequential full-bandwidth streams, NO gather at all;
+  * the remaining curve-far pairs are covered per block by a compacted
+    list of far GROUPS (16 curve-consecutive particles each, only groups
+    actually containing neighbors), gathered at group granularity.
+    Blocks are bucketed by far-list width (few static shapes); bucket
+    outputs are re-assembled by a [nb]-row permutation gather (~free);
+  * all pair weights are baked into static tables (positions never move
+    during a rollout, reference nca.py:136), INCLUDING the source volume
+    v_j: one table [nb, 3P, (D+1)*P] holds, per band column w and row p,
+    the spiky factors md_d = mag * (x_w - x_p)_d * v_w for each axis and
+    the poly6 core w6v = (h^2 - d2)^3 * v_w. Every pair pass is then one
+    batched MXU matmul contracting over the window axis — which sits in
+    the SUBLANE dimension of both operands, so table padding is 8/16
+    rows, not 128 lanes (measured: these dots stream at 1.6-2.4 TB/s).
+
+Semantics are identical to the reference operators (operators_batch.py):
+same kernels, same normalizations, sums over exactly the true |r| < h
+neighborhoods (band/far table entries for out-of-range pairs are zero).
+Periodic domains bake whole-period wrap shifts into the pair weights at
+build time (ghost-free, like the cell engine); a pair interacting
+through several images accumulates all of them in its table entry.
+
+The public batched-lane ops (ops/batched.py) dispatch here when handed a
+BandEngine — the model/rollout layers (models/cell_step.py,
+models/surface.py) run unchanged on either engine, with C = nb blocks
+and M = P rows taking the place of cells and slots.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kernels as K
+from .cells import PAD_POS, _morton_code
+from .hashgrid import _stencil_offsets
+
+Array = jnp.ndarray
+
+
+class BandEngine(NamedTuple):
+    """Static per-geometry band structure (a pytree of device arrays).
+
+    nb = number of row blocks, P = rows (particles) per block,
+    D = spatial dims, R = nb * P padded rank count, N = particles.
+    Field names/shapes mirror CellEngine where the semantics coincide
+    (nb blocks <-> C cells, P rows <-> M slots) so the model layer works
+    on either engine.
+    """
+
+    # layout map: particle -> rank (= block * P + row)
+    slot_of_particle: Array  # [N] int32
+    # geometry in rank order
+    xs: Array  # [nb, P, D] positions (pad rows: PAD_POS)
+    vs: Array  # [nb, P]    volumes   (pad rows: 0)
+    # band pair table: [nb, 3P, (D+1)*P]; window rows w = slot*P + row_j
+    # with slot 0/1/2 = rolled block b-1 / b / b+1; columns c*P + row_i
+    # hold md_c = mag * r_c * v_j for c < D and w6v = (h^2-d2)^3 * v_j
+    # for c = D. Entries for non-neighbor candidate pairs are exactly 0.
+    Tband: Array
+    # gradient-adjoint self term, re-derived from the QUANTIZED tables
+    # (grad of a constant field cancels to accumulation noise, not table
+    # quantization noise — see ops/cells._blk_gsum_from_tables)
+    gsum: Array  # [nb, P, D] f32
+    # neighbor counts within h, incl. self (reference `count` op)
+    nbr_count: Array  # [nb, P] int32
+    # far structure, bucketed by width (tuples of per-bucket arrays):
+    far_blocks: Tuple[Array, ...]  # [nbt] int32 block ids (Morton order)
+    far_groups: Tuple[Array, ...]  # [nbt, Wt] int32 group ids (pad: 0)
+    far_tabs: Tuple[Array, ...]  # [nbt, Wt*g, (D+1)*P] like Tband
+    # 1.0 where the far window row is a real particle (vw > 0), else 0 —
+    # lets the alive indicator be DERIVED from gathered state windows
+    # instead of gathering a second (padded) alive array
+    far_vwmask: Tuple[Array, ...]  # [nbt, Wt*g] table dtype
+    # block permutation assembling concat(bucket outputs + zero rows)
+    # back into Morton block order: out_morton = out_concat[far_perm]
+    far_perm: Array  # [nb] int32
+    # constants
+    h: Array
+    sig_w: Array  # smoothing normalization sigma_W
+    sig_g: Array  # gradient normalization sigma_g
+
+    # -- shape helpers (CellEngine-compatible) ----------------------------
+
+    @property
+    def num_cells(self) -> int:
+        return self.xs.shape[0]
+
+    @property
+    def slots_per_cell(self) -> int:
+        return self.xs.shape[1]
+
+    @property
+    def num_particles(self) -> int:
+        return self.slot_of_particle.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.xs.shape[2]
+
+    @property
+    def far_group_size(self) -> int:
+        for grp, tab in zip(self.far_groups, self.far_tabs):
+            if grp.shape[1]:
+                return tab.shape[1] // grp.shape[1]
+        return 1
+
+    # -- layout conversion (same contract as CellEngine) ------------------
+
+    def scatter(self, A: Array) -> Array:
+        """[N, F] particle order -> [nb, P, F] rank layout (pad rows 0)."""
+        nb, p = self.num_cells, self.slots_per_cell
+        F = A.shape[-1]
+        flat = jnp.zeros((nb * p, F), A.dtype)
+        flat = flat.at[self.slot_of_particle].set(A)
+        return flat.reshape(nb, p, F)
+
+    def gather_back(self, S: Array) -> Array:
+        """[nb, P, F] rank layout -> [N, F] particle order."""
+        nb, p = self.num_cells, self.slots_per_cell
+        return S.reshape(nb * p, S.shape[-1])[self.slot_of_particle]
+
+    # -- operator API (parity/tests; the hot path lives in ops/batched) --
+
+    def count(self) -> Array:
+        return self.nbr_count
+
+    def volume_consistency(self) -> Array:
+        """sigma_W sum_w W v_w per row (~1 for real rows; tests)."""
+        ones = jnp.ones((self.num_cells, self.slots_per_cell, 1))
+        return self.sig_w * band_blur_pass(self, ones)[..., 0]
+
+
+def band_window(X: Array) -> Array:
+    """[nb, P, L] -> [nb, 3P, L] band windows via two rolls + concat —
+    sequential streams, no gather. Wrap-around at the ends is harmless:
+    table entries there are zero unless the pair is genuinely in range
+    (periodic domains where the curve ends meet)."""
+    return jnp.concatenate(
+        [jnp.roll(X, 1, axis=0), X, jnp.roll(X, -1, axis=0)], axis=1
+    )
+
+
+def _pair_dot(T: Array, W: Array) -> Array:
+    """Contract over the window axis — SUBLANE dim of both operands
+    ([nb, W, C] x [nb, W, L] -> [nb, C, L]), so the static table pads W
+    to 8/16 rows instead of 128 lanes."""
+    return jax.lax.dot_general(
+        T, W, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _far_window(eng: BandEngine, Xflat: Array, t: int) -> Array:
+    """Far window states for bucket t: [R, L] -> [nbt, Wt*g, L] via one
+    group-granularity gather. Rows are packed g-per-row (g*L lanes) so
+    narrow inputs (the L=B alive columns, the 4B diffusion moments) move
+    g*L-lane rows instead of g separate 128-lane-padded rows — 4-16x
+    fewer gather bytes on the blur passes."""
+    grp = eng.far_groups[t]
+    g = eng.far_group_size
+    nbt, wt = grp.shape
+    L = Xflat.shape[-1]
+    return Xflat.reshape(-1, g * L)[grp].reshape(nbt, wt * g, L)
+
+
+def _combine_far(eng: BandEngine, outs, out_rows: int, L: int,
+                 dtype=jnp.float32) -> Array:
+    """Concat per-bucket outputs (+ zero rows for no-far blocks) and
+    permute back to Morton block order ([nb]-row gather, ~free)."""
+    nb = eng.num_cells
+    n_far = sum(int(o.shape[0]) for o in outs)
+    parts = list(outs)
+    if n_far < nb:
+        parts.append(jnp.zeros((nb - n_far, out_rows, L), dtype))
+    full = jnp.concatenate(parts, axis=0)
+    return full[eng.far_perm]
+
+
+def band_md_pass(eng: BandEngine, X: Array) -> Array:
+    """Raw spiky moments sum_j md[:, j] * X[j] for all D axes:
+    [nb, P, L] -> [nb, D*P, L] f32 (band + far, unscaled by sigma_g)."""
+    d, p = eng.dim, eng.slots_per_cell
+    Tmd = eng.Tband[:, :, : d * p]
+    out = _pair_dot(Tmd, band_window(X))
+    if eng.far_blocks:
+        Xflat = X.reshape(-1, X.shape[-1])
+        outs = [
+            _pair_dot(tab[:, :, : d * p], _far_window(eng, Xflat, t))
+            for t, tab in enumerate(eng.far_tabs)
+        ]
+        out = out + _combine_far(eng, outs, d * p, X.shape[-1])
+    return out
+
+
+def band_blur_pass(eng: BandEngine, Y: Array) -> Array:
+    """Volume-weighted poly6 pair sum sum_j w6v[:, j] * Y[j]:
+    [nb, P, Ln] -> [nb, P, Ln] f32 (band + far, unscaled by sigma_W)."""
+    d, p = eng.dim, eng.slots_per_cell
+    Tw = eng.Tband[:, :, d * p :]
+    out = _pair_dot(Tw, band_window(Y))
+    if eng.far_blocks:
+        Yflat = Y.reshape(-1, Y.shape[-1])
+        outs = [
+            _pair_dot(tab[:, :, d * p :], _far_window(eng, Yflat, t))
+            for t, tab in enumerate(eng.far_tabs)
+        ]
+        out = out + _combine_far(eng, outs, p, Y.shape[-1])
+    return out
+
+
+ALIVE_THRESHOLD = 0.1  # reference nca.py:19,78
+
+
+def _alive_cols(eng: BandEngine, XB: Array, b: int, dtype) -> Array:
+    """Per-(row, sample) alive indicator [nb, P, B] in the table dtype
+    (volume factors live in the w6v table, so no v multiply here).
+    ``XB`` should already be cast to the table dtype so thresholds are
+    consistent with windows derived from gathered (cast) state."""
+    nb, p = XB.shape[0], XB.shape[1]
+    f = XB.shape[-1] // b
+    rows = nb * p
+    flat = XB.reshape(rows, b * f)
+    alpha = jnp.take(flat, jnp.arange(b) * f + 3, axis=-1)  # lane-take
+    alive = (alpha > ALIVE_THRESHOLD) & (eng.vs.reshape(rows, 1) > 0.0)
+    return alive.astype(dtype).reshape(nb, p, b)
+
+
+@partial(jax.jit, static_argnames=("b", "use_alpha"))
+def perceive_band_batched(
+    eng: BandEngine,
+    XB: Array,  # [nb, P, B*F]
+    b: int,
+    use_alpha: bool = True,
+) -> Tuple[Array, Array]:
+    """Fused batched perception + pre-step life-mask blur.
+
+    Returns (gaB [nb, P, D*B*F] d-major lane blocks, pre_sm [nb, P, B])
+    — the same contract as ops.batched.perceive_cells_batched.
+    Semantics: reference operators_batch.py:222-229 (gradient) and
+    nca.py:71-79 (life mask blur).
+
+    The far state windows are gathered ONCE per bucket and shared by the
+    gradient dot and the life-mask blur dot: the alive indicator is
+    derived from the gathered window's alpha lanes and the static
+    ``far_vwmask`` instead of gathering a second alive array.
+    """
+    d, p = eng.dim, eng.slots_per_cell
+    nb = XB.shape[0]
+    tdt = eng.Tband.dtype
+    Xc = XB.astype(tdt)
+    L = XB.shape[-1]
+    f = L // b
+    alpha_idx = jnp.arange(b) * f + 3
+
+    def alive_of(Xw: Array, vmask: Array) -> Array:
+        # Xw [..., L] (table dtype); vmask [..., 1] — 1.0 on real rows
+        if use_alpha:
+            al = jnp.take(Xw, alpha_idx, axis=-1) > ALIVE_THRESHOLD
+            return al.astype(tdt) * vmask
+        return jnp.broadcast_to(
+            vmask, Xw.shape[:-1] + (b,)
+        ).astype(tdt)
+
+    # band part: one roll-window of the state feeds both dots
+    Wb = band_window(Xc)  # [nb, 3P, L]
+    mom = _pair_dot(eng.Tband[:, :, : d * p], Wb)  # [nb, D*P, L]
+    vband = band_window(
+        (eng.vs > 0.0).astype(tdt)[..., None]
+    )  # [nb, 3P, 1]
+    sm = _pair_dot(eng.Tband[:, :, d * p :], alive_of(Wb, vband))
+
+    if eng.far_blocks:
+        Xflat = Xc.reshape(-1, L)
+        mouts, souts = [], []
+        for t, tab in enumerate(eng.far_tabs):
+            Xw = _far_window(eng, Xflat, t)  # the bucket's ONE gather
+            mouts.append(_pair_dot(tab[:, :, : d * p], Xw))
+            vm = eng.far_vwmask[t][..., None]
+            souts.append(_pair_dot(tab[:, :, d * p :], alive_of(Xw, vm)))
+        mom = mom + _combine_far(eng, mouts, d * p, L)
+        sm = sm + _combine_far(eng, souts, p, b)
+
+    gaB = jnp.concatenate(
+        [
+            eng.sig_g * mom[:, i * p : (i + 1) * p]
+            - XB * eng.gsum[..., i : i + 1]
+            for i in range(d)
+        ],
+        axis=-1,
+    )  # [nb, P, D*B*F]
+    pre_sm = eng.sig_w * sm
+    return gaB, pre_sm
+
+
+@partial(jax.jit, static_argnames=("b", "use_alpha"))
+def mask_blur_band(
+    eng: BandEngine,
+    XB: Array,  # [nb, P, B*F]
+    b: int,
+    use_alpha: bool = True,
+) -> Array:
+    """Batched life-mask blur: blur of (activity > 0.1) per sample ->
+    [nb, P, B] (caller thresholds). Reference nca.py:71-79."""
+    tdt = eng.Tband.dtype
+    if use_alpha:
+        acol = _alive_cols(eng, XB.astype(tdt), b, tdt)
+    else:
+        acol = jnp.broadcast_to(
+            (eng.vs > 0.0)[..., None], XB.shape[:2] + (b,)
+        ).astype(tdt)
+    return eng.sig_w * band_blur_pass(eng, acol)
+
+
+@jax.jit
+def blur_band(eng: BandEngine, YB: Array) -> Array:
+    """Batched SPH blur of arbitrary per-row features [nb, P, K] ->
+    [nb, P, K] (reference operators_batch.py:601-671; v_j baked in the
+    table)."""
+    return eng.sig_w * band_blur_pass(eng, YB.astype(eng.Tband.dtype))
+
+
+@jax.jit
+def gradient_band(eng: BandEngine, A: Array) -> Array:
+    """Single-sample SPH gradient in rank layout: [nb, P, F] ->
+    [nb, P, F, D] (parity/tests; the hot path keeps d-major lanes)."""
+    d, p = eng.dim, eng.slots_per_cell
+    mom = band_md_pass(eng, A.astype(eng.Tband.dtype))
+    comps = [
+        eng.sig_g * mom[:, i * p : (i + 1) * p] - A * eng.gsum[..., i : i + 1]
+        for i in range(d)
+    ]
+    return jnp.stack(comps, axis=-1)
+
+
+@jax.jit
+def divergence_band(eng: BandEngine, V: Array) -> Array:
+    """SPH divergence of vector features [nb, P, F, D] -> [nb, P, F]
+    (reference divergence semantics: sig_g sum_j v_j (V_j - V_i) . mag r).
+    Computed from the md tables axis by axis."""
+    d, p = eng.dim, eng.slots_per_cell
+    acc = None
+    for i in range(d):
+        mom = band_md_pass_axis(eng, V[..., i].astype(eng.Tband.dtype), i)
+        term = eng.sig_g * mom - V[..., i] * eng.gsum[..., i : i + 1]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def band_md_pass_axis(eng: BandEngine, X: Array, axis: int) -> Array:
+    """Like band_md_pass but for a single axis table slice:
+    [nb, P, L] -> [nb, P, L]."""
+    p = eng.slots_per_cell
+    sl = slice(axis * p, (axis + 1) * p)
+    out = _pair_dot(eng.Tband[:, :, sl], band_window(X))
+    if eng.far_blocks:
+        Xflat = X.reshape(-1, X.shape[-1])
+        outs = [
+            _pair_dot(tab[:, :, sl], _far_window(eng, Xflat, t))
+            for t, tab in enumerate(eng.far_tabs)
+        ]
+        out = out + _combine_far(eng, outs, p, X.shape[-1])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Build (host-side numpy, one-time per geometry)
+# ---------------------------------------------------------------------------
+
+
+def _true_pairs(x: np.ndarray, h: float, period) -> tuple:
+    """All true SPH pairs (|r| < h) of rank-ordered positions, via the
+    cell stencil. Returns (pi, pj, dx [E, D], d2 [E]) with pi/pj rank
+    indices; periodic pairs appear once per contributing image (their
+    table entries accumulate). Vectorized; chunked over stencil offsets
+    so peak memory stays O(N)."""
+    n, d = x.shape
+    if period is not None:
+        per = np.broadcast_to(np.asarray(period, np.float64), (d,))
+        ncell = np.maximum(np.floor(per / h).astype(np.int64), 3)
+        cell_size = per / ncell
+    else:
+        per = None
+        cell_size = np.full(d, float(h), np.float64)
+
+    fl = np.floor(x / cell_size).astype(np.int64)
+    if per is not None:
+        fl = np.mod(fl, ncell)
+
+    occ, inv = np.unique(fl, axis=0, return_inverse=True)
+    inv = inv.ravel()
+    by_cell = np.argsort(inv, kind="stable").astype(np.int64)
+    inv_s = inv[by_cell]
+    ncells = len(occ)
+    cstart = np.searchsorted(inv_s, np.arange(ncells))
+    cend = np.searchsorted(inv_s, np.arange(ncells), side="right")
+    counts = cend - cstart
+
+    # occupied-cell lookup: raveled coordinate keys + one searchsorted
+    fmin = occ.min(axis=0)
+    span = occ.max(axis=0) - fmin + 1
+    strides = np.cumprod(np.concatenate([[1], span[::-1][:-1]]))[::-1]
+    keys = (occ - fmin) @ strides  # sorted ascending (np.unique order)
+
+    offsets = _stencil_offsets(d)
+    pis, pjs, dxs, d2s = [], [], [], []
+    h2 = float(h) * float(h)
+    for off in offsets:
+        tgt = fl + off[None, :]
+        if per is not None:
+            tgt_c = np.mod(tgt, ncell)
+            shift = ((tgt - tgt_c) // ncell).astype(np.float64) * per
+        else:
+            tgt_c = tgt
+            shift = None
+        in_range = np.all((tgt_c >= fmin) & (tgt_c < fmin + span), axis=-1)
+        q = (tgt_c - fmin) @ strides
+        pos = np.minimum(np.searchsorted(keys, q), ncells - 1)
+        found = in_range & (keys[pos] == q)
+        cid = np.where(found, pos, 0)
+        cnt = np.where(found, counts[cid], 0)
+        E = int(cnt.sum())
+        if E == 0:
+            continue
+        pi = np.repeat(np.arange(n), cnt)
+        seg = np.repeat(cstart[cid], cnt) + (
+            np.arange(E) - np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        )
+        pj = by_cell[seg]
+        dx = x[pj] - x[pi]
+        if shift is not None:
+            dx = dx + np.repeat(shift, cnt, axis=0)
+        d2 = np.einsum("ed,ed->e", dx, dx)
+        keep = d2 < h2
+        pis.append(pi[keep])
+        pjs.append(pj[keep])
+        dxs.append(dx[keep])
+        d2s.append(d2[keep])
+    return (
+        np.concatenate(pis),
+        np.concatenate(pjs),
+        np.concatenate(dxs),
+        np.concatenate(d2s),
+    )
+
+
+def _bucket_cuts(widths: np.ndarray, k: int) -> list:
+    """Split sorted far widths into <= k buckets minimizing padded area
+    (greedy equal-count start is fine at these sizes)."""
+    nz = widths[widths > 0]
+    if len(nz) == 0:
+        return []
+    s = np.sort(nz)
+    k = min(k, len(s))
+    cuts = []
+    size = len(s) // k
+    for i in range(k):
+        seg = s[i * size : (i + 1) * size] if i < k - 1 else s[i * size :]
+        if len(seg):
+            cuts.append(int(seg.max()))
+    # dedupe while preserving order
+    out = []
+    for c in cuts:
+        if not out or c > out[-1]:
+            out.append(c)
+    return out
+
+
+def build_band_engine(
+    x,
+    h: float,
+    *,
+    period=None,
+    block_rows: int = 64,
+    far_group: int = 8,
+    far_buckets: int = 8,
+    smoothing: str = K.DEFAULT_SMOOTHING,
+    gradient_kernel: str = K.DEFAULT_GRADIENT,
+    table_dtype: str = "float32",
+    block_multiple: int = 1,
+) -> BandEngine:
+    """Build the band engine for concrete positions (host-side numpy).
+
+    ``x``: [N, D]. ``block_rows`` (P) rows per band block; ``far_group``
+    (g) particles per far column group; ``far_buckets`` static width
+    classes for the far lists. ``block_multiple`` pads the block count
+    to a multiple (sharding evenness).
+
+    Pair weights are computed in float64 at build time and cast once to
+    ``table_dtype`` ("float32" | "bfloat16") — bfloat16 halves table
+    bytes at pair-level quantization (the gsum self-term is re-derived
+    from the quantized tables so a constant field still has zero
+    gradient up to accumulation noise).
+    """
+    if smoothing != "poly6" or gradient_kernel != "spiky":
+        raise NotImplementedError(
+            f"BandEngine implements poly6/spiky only (got {smoothing!r}/"
+            f"{gradient_kernel!r}); use ops.build_graph for other kernels"
+        )
+    x = np.asarray(x, np.float64)
+    n, d = x.shape
+    P = int(block_rows)
+    g = int(far_group)
+    if P % g:
+        raise ValueError(
+            f"far_group {g} must divide block_rows {P}"
+        )
+
+    per = None
+    if period is not None:
+        per = np.broadcast_to(np.asarray(period, np.float64), (d,)).copy()
+        ncell = np.maximum(np.floor(per / h).astype(np.int64), 3)
+        cell_size = per / ncell
+        # canonical positions within one period
+        x = x - np.floor(x / per) * per
+    else:
+        cell_size = np.full(d, float(h), np.float64)
+
+    # Morton rank: sort by cell code, stable (original order within cell)
+    fl = np.floor(x / cell_size).astype(np.int64)
+    if per is not None:
+        fl = np.mod(fl, ncell)
+    code = _morton_code(fl - fl.min(axis=0))
+    order = np.argsort(code, kind="stable")
+    rank_of_particle = np.empty(n, np.int64)
+    rank_of_particle[order] = np.arange(n)
+    xr = x[order]  # rank-ordered positions
+
+    nb = -(-n // P)
+    bm = max(1, int(block_multiple))
+    nb = -(-nb // bm) * bm
+    R = nb * P
+
+    pi, pj, dx, d2 = _true_pairs(xr, float(h), per)
+
+    # volumes: v_i = 1 / (sigma_W sum_j W(d2)), reference :70-76
+    sig_w = float(K.get_smoothing_kernel(smoothing).norm(h, d))
+    sig_g = float(K.get_gradient_kernel(gradient_kernel).norm(h, d))
+    h2 = float(h) * float(h)
+    w6 = (h2 - d2) ** 3
+    inv_v = sig_w * np.bincount(pi, weights=w6, minlength=R)
+    v = np.where(inv_v > 0.0, 1.0 / np.maximum(inv_v, 1e-300), 0.0)
+
+    dist = np.sqrt(np.where(d2 > 0.0, d2, 1.0))
+    mag = np.where(d2 > 0.0, 3.0 * (h - dist) ** 2 / dist, 0.0)
+    vj = v[pj]
+    w6v = w6 * vj  # poly6 core * source volume
+    mdv = mag[:, None] * dx * vj[:, None]  # [E, D]
+
+    bi = pi // P
+    bj = pj // P
+    # band slot: 1 = same block, 2 = next (mod nb), 0 = previous (mod nb)
+    dbf = (bj - bi) % nb
+    dbb = (bi - bj) % nb
+    slot = np.full(len(pi), -1, np.int64)
+    slot[dbf == 0] = 1
+    nxt = (slot < 0) & (dbf == 1)
+    slot[nxt] = 2
+    prv = (slot < 0) & (dbb == 1)
+    slot[prv] = 0
+    in_band = slot >= 0
+
+    CC = (d + 1) * P  # table columns: D md components + w6v, P rows each
+    ri = pi % P
+    rj = pj % P
+
+    def fill_table(rows_sel, cols_sel, ri_sel, md_sel, w6_sel, nrows, wcols):
+        """Accumulate a [nrows, wcols, CC] f32 table from pre-selected
+        pairs via ONE combined bincount (multi-image pairs accumulate).
+        A single bincount zeroes the (large) output once instead of
+        per-component — the dominant cost at 100k+ points."""
+        base = (rows_sel * wcols + cols_sel) * CC + ri_sel
+        idx = np.concatenate(
+            [base + c * P for c in range(d)] + [base + d * P]
+        )
+        w = np.concatenate([md_sel[:, c] for c in range(d)] + [w6_sel])
+        tab = np.bincount(idx, weights=w, minlength=nrows * wcols * CC)
+        return tab.reshape(nrows, wcols, CC).astype(np.float32)
+
+    band_col = slot * P + rj
+    Tband = fill_table(
+        bi[in_band], band_col[in_band], ri[in_band],
+        mdv[in_band], w6v[in_band], nb, 3 * P,
+    )
+
+    # ---- far structure ---------------------------------------------------
+    far = ~in_band
+    Rg = R // g + 1  # (block, group) key multiplier
+    if far.any():
+        ubg = np.unique(bi[far] * Rg + (pj[far] // g))
+        ub, ug = ubg // Rg, ubg % Rg
+        grp_count = np.bincount(ub, minlength=nb)
+    else:
+        ub = ug = np.zeros(0, np.int64)
+        grp_count = np.zeros(nb, np.int64)
+
+    cuts = _bucket_cuts(grp_count, far_buckets)
+    far_blocks, far_groups_l, far_tabs = [], [], []
+    order_rows = []  # bucket-concat row order (block ids)
+    lo = 0
+    for wmax in cuts:
+        blks = np.where((grp_count > lo) & (grp_count <= wmax))[0]
+        lo = wmax
+        if len(blks) == 0:
+            continue
+        far_blocks.append(blks.astype(np.int32))
+        order_rows.append(blks)
+        row_of = np.full(nb, -1, np.int64)
+        row_of[blks] = np.arange(len(blks))
+        # this bucket's (block, group) entries — ubg is sorted, block-major
+        selb = np.isin(ub, blks)
+        bsel, gsel = ub[selb], ug[selb]
+        cnts = np.bincount(row_of[bsel], minlength=len(blks))
+        startp = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        posn = np.arange(len(bsel)) - np.repeat(startp, cnts)
+        grp_list = np.zeros((len(blks), wmax), np.int64)
+        grp_list[row_of[bsel], posn] = gsel  # pad entries stay group 0
+        far_groups_l.append(grp_list.astype(np.int32))
+        # pair columns: (position of the pair's group in grp_list) * g + rj%g
+        keys_bg = bsel * Rg + gsel  # sorted ascending (subset of ubg)
+        sel_pairs = far & np.isin(bi, blks)
+        ppos = np.searchsorted(
+            keys_bg, bi[sel_pairs] * Rg + pj[sel_pairs] // g
+        )
+        col = posn[ppos] * g + pj[sel_pairs] % g
+        far_tabs.append(fill_table(
+            row_of[bi[sel_pairs]], col, ri[sel_pairs],
+            mdv[sel_pairs], w6v[sel_pairs], len(blks), wmax * g,
+        ))
+
+    order_rows.append(np.where(grp_count == 0)[0])
+    all_rows = np.concatenate(order_rows)
+    far_perm = np.empty(nb, np.int64)
+    far_perm[all_rows] = np.arange(nb)
+
+    # ---- quantize + derived arrays --------------------------------------
+    # quantization happens host-side (ml_dtypes bfloat16 == TPU bf16) so
+    # gsum can be derived from the exact quantized values without a
+    # device round-trip
+    if table_dtype == "bfloat16":
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+        Tband_n = Tband.astype(bf16)
+        far_n = [t.astype(bf16) for t in far_tabs]
+    else:
+        Tband_n = Tband
+        far_n = far_tabs
+
+    # gsum from the quantized tables (sum over window rows)
+    gs = Tband_n.astype(np.float32).sum(axis=1)  # [nb, CC]
+    for blks, tq in zip(far_blocks, far_n):
+        if len(blks):
+            gs[blks] += tq.astype(np.float32).sum(axis=1)
+    gsum = sig_g * gs.reshape(nb, d + 1, P).transpose(0, 2, 1)[..., :d]
+    Tband_q = jnp.asarray(Tband_n)
+    far_q = [jnp.asarray(t) for t in far_n]
+
+    xs = np.full((R, d), PAD_POS, np.float32)
+    xs[:n] = xr.astype(np.float32)
+    vs = np.zeros((R,), np.float32)
+    vs[:n] = v[:n]
+    ncnt = np.bincount(pi, minlength=R).astype(np.int32)
+
+    # real-row indicator per far window row (pad rows of the group list
+    # point at group 0 — REAL particles — but their table entries are
+    # zero, so their mask value is irrelevant; vw>0 handles rank pads)
+    np_tdt = np.float32 if table_dtype != "bfloat16" else Tband_n.dtype
+    far_vwmask = []
+    for grp_list in far_groups_l:
+        rows_idx = (
+            grp_list.astype(np.int64)[:, :, None] * g + np.arange(g)
+        ).reshape(grp_list.shape[0], -1)
+        far_vwmask.append((vs[rows_idx] > 0.0).astype(np_tdt))
+
+    return BandEngine(
+        slot_of_particle=jnp.asarray(rank_of_particle, jnp.int32),
+        xs=jnp.asarray(xs.reshape(nb, P, d)),
+        vs=jnp.asarray(vs.reshape(nb, P)),
+        Tband=Tband_q,
+        gsum=jnp.asarray(gsum.astype(np.float32)),
+        nbr_count=jnp.asarray(ncnt.reshape(nb, P)),
+        far_blocks=tuple(jnp.asarray(bk) for bk in far_blocks),
+        far_groups=tuple(jnp.asarray(gl) for gl in far_groups_l),
+        far_tabs=tuple(far_q),
+        far_vwmask=tuple(jnp.asarray(m) for m in far_vwmask),
+        far_perm=jnp.asarray(far_perm, jnp.int32),
+        h=jnp.float32(h),
+        sig_w=jnp.float32(sig_w),
+        sig_g=jnp.float32(sig_g),
+    )

@@ -100,7 +100,7 @@ def _win_gather_slots(slot_flat: Array, wc: Array, m: int) -> Array:
 
 @partial(jax.jit, static_argnames=("b", "use_alpha", "block_chunks"))
 def perceive_cells_batched(
-    eng: CellEngine,
+    eng,
     SB: Array,  # [C, M, B*F]
     b: int,
     use_alpha: bool = True,
@@ -117,7 +117,14 @@ def perceive_cells_batched(
     plus the gsum rowsum correction (quantization-consistent, see
     ops/cells._blk_gsum_from_tables). Semantics match
     pair_kernel._fwd_tab_kernel / reference operators_batch.py:222-229.
+
+    A BandEngine (ops/bands.py, the round-3 throughput engine) routes to
+    the band implementation — same contract, C = blocks / M = rows.
     """
+    from .bands import BandEngine, perceive_band_batched
+
+    if isinstance(eng, BandEngine):
+        return perceive_band_batched(eng, SB, b, use_alpha)
     if eng.blk_md is None:
         raise ValueError("engine was built without pair_tables")
     c, m, d = eng.xs.shape
@@ -218,7 +225,7 @@ def perceive_cells_batched(
 
 @partial(jax.jit, static_argnames=("b", "use_alpha"))
 def mask_blur_batched(
-    eng: CellEngine,
+    eng,
     SB: Array,  # [C, M, B*F]
     b: int,
     use_alpha: bool = True,
@@ -226,6 +233,10 @@ def mask_blur_batched(
     """Batched life-mask blur: blur of (activity > 0.1) per sample.
     Returns sm [C, M, B] (caller thresholds). Reference nca.py:71-79 /
     pair_kernel._mask_tab_kernel."""
+    from .bands import BandEngine, mask_blur_band
+
+    if isinstance(eng, BandEngine):
+        return mask_blur_band(eng, SB, b, use_alpha)
     if eng.blk_md is None:
         raise ValueError("engine was built without pair_tables")
     c, m, _ = eng.xs.shape
@@ -258,10 +269,14 @@ def mask_blur_batched(
 
 
 @partial(jax.jit, static_argnames=("b",))
-def blur_batched(eng: CellEngine, XB: Array, b: int) -> Array:
+def blur_batched(eng, XB: Array, b: int) -> Array:
     """Batched SPH blur of arbitrary per-slot features XB [C, M, B*K]
     -> [C, M, B*K] (reference operators_batch.py:601-671 semantics via
     the w6 table). Used by batched tangent diffusion."""
+    from .bands import BandEngine, blur_band
+
+    if isinstance(eng, BandEngine):
+        return blur_band(eng, XB)
     if eng.blk_md is None:
         raise ValueError("engine was built without pair_tables")
     c, m, _ = eng.xs.shape
