@@ -285,7 +285,8 @@ def nca_step_cells_batched(
     rows = C * M
 
     gaB, pre_sm = perceive_cells_batched(
-        eng, SB, b, cfg.use_alpha, block_chunks
+        eng, SB, b, cfg.use_alpha, block_chunks=block_chunks,
+        out_dtype=mlp_dtype,
     )  # [C, M, D*B*F] d-major lanes, [C, M, B]
     prev_mask = pre_sm > ALIVE_THRESHOLD
     if perception_transform is not None:
@@ -302,7 +303,8 @@ def nca_step_cells_batched(
     y = jnp.concatenate(
         [
             SB.reshape(rows, bf).astype(ydt),
-            (scale * gaB[..., :2 * bf]).reshape(rows, 2 * bf).astype(ydt),
+            (jnp.asarray(scale, gaB.dtype)
+             * gaB[..., :2 * bf]).reshape(rows, 2 * bf).astype(ydt),
         ],
         axis=-1,
     )  # [rows, 3*B*F]
@@ -322,11 +324,16 @@ def nca_step_cells_batched(
     ).astype(jnp.float32)  # columns are lane-aligned groups (see above)
 
     SB2 = SB.reshape(rows, bf)
+    # per-sample [rows, B] masks expand to [rows, B*F] lanes via one-hot
+    # MXU matmuls (ops/batched.expand_lanes) — jnp.repeat lowers to
+    # broadcast relayouts that profiled ~0.3 ms each at this size
+    from ..ops.batched import expand_lanes
+
     if cfg.update_rule == "gated":
         gate = jax.nn.sigmoid(dA[:, :bf])
         delta = jnp.tanh(dA[:, bf : 2 * bf])
-        mult = jax.nn.sigmoid(
-            jnp.repeat(dA[:, 2 * bf :], f, axis=-1)
+        mult = expand_lanes(
+            jax.nn.sigmoid(dA[:, 2 * bf :]), f
         )  # [rows, B] -> per-feature lanes
         nS = SB2 * gate + delta * mult
     elif cfg.update_rule == "orig":
@@ -335,17 +342,19 @@ def nca_step_cells_batched(
         raise ValueError(f"unknown update rule {cfg.update_rule!r}")
 
     u = jax.random.uniform(key, (rows, b))
-    fire = jnp.repeat(u <= fire_rate, f, axis=-1)  # [rows, B*F]
-    nS = jnp.where(fire, nS, SB2)
+    fire = expand_lanes(
+        (u <= fire_rate).astype(nS.dtype), f
+    )  # [rows, B*F] in {0, 1}
+    nS = SB2 + fire * (nS - SB2)
     nSB = nS.reshape(C, M, bf)
 
     new_sm = mask_blur_batched(
         eng, jax.lax.stop_gradient(nSB), b, cfg.use_alpha
     )
     new_mask = new_sm > ALIVE_THRESHOLD
-    living = jnp.repeat(
-        (prev_mask & new_mask).reshape(rows, b), f, axis=-1
-    ).astype(nS.dtype)
+    living = expand_lanes(
+        (prev_mask & new_mask).reshape(rows, b).astype(nS.dtype), f
+    )
     return (nS * living).reshape(C, M, bf)
 
 

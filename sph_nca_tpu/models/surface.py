@@ -256,16 +256,21 @@ def project_tangent_space_lanes(
 
 
 def _expand_lanes(a: Array, f: int) -> Array:
-    """[rows, B] -> [rows, B*F] with each column repeated F times,
-    as a one-hot matmul (an MXU pass; jnp.repeat lowers to
-    broadcast_in_dim relayouts that profiled at ~0.7 ms each here)."""
-    b = a.shape[-1]
-    e = jnp.zeros((b, b * f), a.dtype).at[
-        jnp.repeat(jnp.arange(b), f), jnp.arange(b * f)
-    ].set(1.0)
-    return jax.lax.dot_general(
-        a, e, (((1,), (0,)), ((), ())), preferred_element_type=a.dtype
-    )
+    """[rows, B] -> [rows, B*F] lane expansion via a one-hot MXU matmul
+    (shared implementation in ops/batched.expand_lanes)."""
+    from ..ops.batched import expand_lanes
+
+    return expand_lanes(a, f)
+
+
+def normal_components(nc: Array) -> tuple:
+    """Split shared normals [C, M, 3] into three [rows, 1] component
+    arrays ONCE per rollout. Lane-slicing a 3-lane array materializes a
+    strided copy; done inside the step it re-ran every scan iteration
+    (profiled ~0.8 ms/step of async slice traffic on the 100k bench)."""
+    rows = nc.shape[0] * nc.shape[1]
+    flat = nc.reshape(rows, 3)
+    return tuple(flat[:, i : i + 1] for i in range(3))
 
 
 def diffuse_batched(
@@ -278,32 +283,62 @@ def diffuse_batched(
     lerp_multiplier: float = 1.0,
     w_multiplier: float = 1.0,
     use_alpha: bool = True,
+    nd: Optional[tuple] = None,  # precomputed normal_components(nc)
 ) -> Array:
     """Batched tangent diffusion (reference nca.py:312-323) through the
     batched poly6 blur, entirely in [rows, B] lane-block math (shapes
     ending in 3 pad 128/3x and every op on them relayouts — profiled).
     tB layout: [t_x (B) | t_y (B) | t_z (B)]."""
+    C, M = SB.shape[0], SB.shape[1]
+    rows = C * M
+    t2 = tB.reshape(rows, 3 * b)
+    td = tuple(t2[:, i * b : (i + 1) * b] for i in range(3))
+    if nd is None:
+        nd = normal_components(nc)
+    out = _diffuse_td(
+        eng, nd, td, SB, b,
+        lerp_multiplier=lerp_multiplier,
+        w_multiplier=w_multiplier,
+        use_alpha=use_alpha,
+    )
+    return jnp.concatenate(out, axis=-1).reshape(C, M, 3 * b)
+
+
+def _diffuse_td(
+    eng,
+    nd: tuple,  # 3x [rows, 1] normal components (loop-invariant)
+    td: tuple,  # 3x [rows, B] per-sample tangent components
+    SB: Array,  # [C, M, B*F]
+    b: int,
+    *,
+    lerp_multiplier: float = 1.0,
+    w_multiplier: float = 1.0,
+    use_alpha: bool = True,
+) -> tuple:
+    """Component-tuple core of diffuse_batched. Tangents stay as three
+    [rows, B] arrays end-to-end — packing them into one [C, M, 3B]
+    carry made every step re-slice it (profiled ~0.6 ms/step of async
+    slice traffic on the 100k bench)."""
     from ..ops.batched import blur_batched
 
     C, M = SB.shape[0], SB.shape[1]
     rows = C * M
     f = SB.shape[-1] // b
     if use_alpha:
-        alpha = jnp.take(
-            SB.reshape(rows, b * f), jnp.arange(b) * f + 3, axis=-1
+        from ..ops.bands import _take_lanes
+
+        alpha = _take_lanes(
+            SB.reshape(rows, b * f), jnp.arange(b) * f + 3, b
         )
     else:
         alpha = jnp.ones((rows, b), SB.dtype)
     w = jnp.clip(alpha, 0.0, 1.0)  # [rows, B]
     m = (1.0 - w_multiplier) + w * w_multiplier
-    t2 = tB.reshape(rows, 3 * b)
-    td = [t2[:, i * b : (i + 1) * b] for i in range(3)]
     # blur input lanes d-major: [m(B) | m*t_x(B) | m*t_y(B) | m*t_z(B)]
     mt = jnp.concatenate([m] + [m * t for t in td], axis=-1)
     mt2 = blur_batched(eng, mt.reshape(C, M, 4 * b), b).reshape(rows, 4 * b)
     denom = 1e-8 + mt2[:, :b]
     lerp = w * lerp_multiplier
-    nd = [nc.reshape(rows, 3)[:, i : i + 1] for i in range(3)]
     t2d = []
     for i in range(3):
         ti = mt2[:, (i + 1) * b : (i + 2) * b] / denom
@@ -312,11 +347,11 @@ def diffuse_batched(
     ndot = t2d[0] * nd[0] + t2d[1] * nd[1] + t2d[2] * nd[2]
     t2d = [t2d[i] - nd[i] * ndot for i in range(3)]
     norm = jnp.sqrt(t2d[0] ** 2 + t2d[1] ** 2 + t2d[2] ** 2)
-    t2d = [t / (1e-8 + norm) for t in t2d]
-    return jnp.concatenate(t2d, axis=-1).reshape(C, M, 3 * b)
+    return tuple(t / (1e-8 + norm) for t in t2d)
 
 
-def _project_lanes_batchedT(gaB: Array, nc: Array, tB: Array, b: int) -> Array:
+def _project_lanes_batchedT(gaB: Array, nc: Array, tB: Array, b: int,
+                            nd: Optional[tuple] = None) -> Array:
     """Tangent projection with PER-SAMPLE tangents in d-major lane
     blocks (tB [C, M, 3*B]): output d-major blocks [gA.t | gA.bitan |
     gA.n] (reference nca.py:325-330). Per-axis coefficients expand
@@ -324,11 +359,24 @@ def _project_lanes_batchedT(gaB: Array, nc: Array, tB: Array, b: int) -> Array:
     is fused 128-lane elementwise math."""
     C, M = gaB.shape[0], gaB.shape[1]
     bf = gaB.shape[-1] // 3
-    f = bf // b
     rows = C * M
     t2 = tB.reshape(rows, 3 * b)
-    td = [t2[:, i * b : (i + 1) * b] for i in range(3)]
-    nd = [nc.reshape(rows, 3)[:, i : i + 1] for i in range(3)]  # [rows,1]
+    td = tuple(t2[:, i * b : (i + 1) * b] for i in range(3))
+    if nd is None:
+        nd = normal_components(nc)  # [rows, 1] each
+    return _project_td(gaB, nd, td, b)
+
+
+def _project_td(gaB: Array, nd: tuple, td: tuple, b: int) -> Array:
+    """Component-tuple core of _project_lanes_batchedT (tangents/normals
+    pre-split, in any dtype — cast here to follow gaB's dtype)."""
+    C, M = gaB.shape[0], gaB.shape[1]
+    bf = gaB.shape[-1] // 3
+    f = bf // b
+    rows = C * M
+    dt = gaB.dtype  # follow the perception dtype (bf16 throughput mode)
+    td = [t.astype(dt) for t in td]
+    nd = [x.astype(dt) for x in nd]
     # bitangent = n x t, computed in [rows, B] blocks (n broadcasts)
     bd = [
         nd[1] * td[2] - nd[2] * td[1],
@@ -377,36 +425,40 @@ def rollout_mesh_batched(
     rows = C * M
     SB0 = batched_scatter(eng, A0)
     nc = eng.scatter(n)
-    # tangents to d-major lane blocks [rows, 3*B]
+    # tangents as three [rows, B] component arrays (a packed [C, M, 3B]
+    # carry made every step re-slice it — profiled, see _diffuse_td)
     t_cm = batched_scatter(eng, t0).reshape(rows, b, 3)
-    tB0 = jnp.concatenate(
-        [t_cm[..., d] for d in range(3)], axis=-1
-    ).reshape(C, M, 3 * b)
+    td0 = tuple(t_cm[..., d] for d in range(3))
+    # loop-invariant per-component normals, pre-cast to the perception
+    # dtype so nothing is sliced or converted inside the scan
+    pdt = jnp.bfloat16 if mlp_dtype == "bfloat16" else SB0.dtype
+    nd = tuple(x.astype(pdt) for x in normal_components(nc))
+    # per-step RNG keys derived OUTSIDE the scan (the in-scan fold_in
+    # chain serialized a small copy per step on the async line)
+    keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
+        jnp.arange(n_steps)
+    )
 
-    def body(carry, step_i):
-        SB, tB = carry
+    def body(carry, k):
+        SB, td = carry
         nSB = nca_step_cells_batched(
-            params, cfg, eng, SB, b, jax.random.fold_in(key, step_i), h,
+            params, cfg, eng, SB, b, k, h,
             fire_rate=fire_rate, mlp_dtype=mlp_dtype,
-            perception_transform=lambda ga: _project_lanes_batchedT(
-                ga, nc, tB, b
-            ),
+            perception_transform=lambda ga: _project_td(ga, nd, td, b),
         )
-        ntB = jax.lax.stop_gradient(
-            diffuse_batched(
-                eng, nc, tB, nSB, b,
+        ntd = jax.lax.stop_gradient(
+            _diffuse_td(
+                eng, nd, td, nSB, b,
                 lerp_multiplier=lerp_multiplier,
                 w_multiplier=w_multiplier,
                 use_alpha=cfg.use_alpha,
             )
         )
-        return (nSB, ntB), None
+        return (nSB, ntd), None
 
-    (final_S, final_t), _ = jax.lax.scan(
-        body, (SB0, tB0), jnp.arange(n_steps)
-    )
-    ft = final_t.reshape(rows, 3, b)  # d-major blocks -> [B, N, 3]
-    ft = jnp.swapaxes(ft, 1, 2).reshape(C, M, b * 3)
+    (final_S, final_td), _ = jax.lax.scan(body, (SB0, td0), keys)
+    ft = jnp.stack(final_td, axis=-1)  # [rows, B, 3]
+    ft = ft.reshape(C, M, b * 3)
     return (
         batched_gather_back(eng, final_S, b),
         batched_gather_back(eng, ft, b),

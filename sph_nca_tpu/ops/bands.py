@@ -162,13 +162,14 @@ def band_window(X: Array) -> Array:
     )
 
 
-def _pair_dot(T: Array, W: Array) -> Array:
+def _pair_dot(T: Array, W: Array, out_dtype=jnp.float32) -> Array:
     """Contract over the window axis — SUBLANE dim of both operands
     ([nb, W, C] x [nb, W, L] -> [nb, C, L]), so the static table pads W
-    to 8/16 rows instead of 128 lanes."""
+    to 8/16 rows instead of 128 lanes. The MXU accumulates in f32
+    regardless of ``out_dtype``; bf16 output only rounds the result."""
     return jax.lax.dot_general(
         T, W, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
 
 
@@ -233,6 +234,19 @@ def band_blur_pass(eng: BandEngine, Y: Array) -> Array:
 ALIVE_THRESHOLD = 0.1  # reference nca.py:19,78
 
 
+def _take_lanes(flat: Array, idx, out_lanes: int) -> Array:
+    """Select lane columns via a one-hot MXU matmul ([rows, L] ->
+    [rows, out_lanes]). jnp.take on the lane axis lowers to a strided
+    relayout that profiled ~3x slower than this dot at [100k, 128]."""
+    E = jnp.zeros((flat.shape[-1], out_lanes), flat.dtype).at[
+        jnp.asarray(idx), jnp.arange(out_lanes)
+    ].set(1.0)
+    return jax.lax.dot_general(
+        flat, E, (((1,), (0,)), ((), ())),
+        preferred_element_type=flat.dtype,
+    )
+
+
 def _alive_cols(eng: BandEngine, XB: Array, b: int, dtype) -> Array:
     """Per-(row, sample) alive indicator [nb, P, B] in the table dtype
     (volume factors live in the w6v table, so no v multiply here).
@@ -242,17 +256,18 @@ def _alive_cols(eng: BandEngine, XB: Array, b: int, dtype) -> Array:
     f = XB.shape[-1] // b
     rows = nb * p
     flat = XB.reshape(rows, b * f)
-    alpha = jnp.take(flat, jnp.arange(b) * f + 3, axis=-1)  # lane-take
+    alpha = _take_lanes(flat, jnp.arange(b) * f + 3, b)
     alive = (alpha > ALIVE_THRESHOLD) & (eng.vs.reshape(rows, 1) > 0.0)
     return alive.astype(dtype).reshape(nb, p, b)
 
 
-@partial(jax.jit, static_argnames=("b", "use_alpha"))
+@partial(jax.jit, static_argnames=("b", "use_alpha", "out_dtype"))
 def perceive_band_batched(
     eng: BandEngine,
     XB: Array,  # [nb, P, B*F]
     b: int,
     use_alpha: bool = True,
+    out_dtype=None,
 ) -> Tuple[Array, Array]:
     """Fused batched perception + pre-step life-mask blur.
 
@@ -265,51 +280,64 @@ def perceive_band_batched(
     gradient dot and the life-mask blur dot: the alive indicator is
     derived from the gathered window's alpha lanes and the static
     ``far_vwmask`` instead of gathering a second alive array.
+
+    ``out_dtype="bfloat16"`` emits the gradient moments and gaB in bf16
+    (the throughput setting when the update MLP runs bf16 anyway —
+    halves the [nb, D*P, L] intermediate traffic). Default f32.
     """
     d, p = eng.dim, eng.slots_per_cell
     nb = XB.shape[0]
     tdt = eng.Tband.dtype
+    odt = jnp.dtype(out_dtype) if out_dtype else jnp.float32
     Xc = XB.astype(tdt)
     L = XB.shape[-1]
     f = L // b
     alpha_idx = jnp.arange(b) * f + 3
 
     def alive_of(Xw: Array, vmask: Array) -> Array:
-        # Xw [..., L] (table dtype); vmask [..., 1] — 1.0 on real rows
+        # Xw [nw, W, L] (table dtype); vmask [nw, W, 1] — 1.0 real rows
         if use_alpha:
-            al = jnp.take(Xw, alpha_idx, axis=-1) > ALIVE_THRESHOLD
+            nw, W = Xw.shape[0], Xw.shape[1]
+            al = _take_lanes(Xw.reshape(nw * W, L), alpha_idx, b)
+            al = al.reshape(nw, W, b) > ALIVE_THRESHOLD
             return al.astype(tdt) * vmask
         return jnp.broadcast_to(
             vmask, Xw.shape[:-1] + (b,)
         ).astype(tdt)
 
-    # band part: one roll-window of the state feeds both dots
+    # band part: the alive columns are computed ONCE in rank space and
+    # roll-windowed (rolls are cheap; lane-takes on the 3x window not)
+    if use_alpha:
+        acol = _alive_cols(eng, Xc, b, tdt)  # [nb, P, B]
+    else:
+        acol = jnp.broadcast_to(
+            (eng.vs > 0.0)[..., None], (nb, p, b)
+        ).astype(tdt)
     Wb = band_window(Xc)  # [nb, 3P, L]
-    mom = _pair_dot(eng.Tband[:, :, : d * p], Wb)  # [nb, D*P, L]
-    vband = band_window(
-        (eng.vs > 0.0).astype(tdt)[..., None]
-    )  # [nb, 3P, 1]
-    sm = _pair_dot(eng.Tband[:, :, d * p :], alive_of(Wb, vband))
+    mom = _pair_dot(eng.Tband[:, :, : d * p], Wb, odt)  # [nb, D*P, L]
+    sm = _pair_dot(eng.Tband[:, :, d * p :], band_window(acol))
 
     if eng.far_blocks:
         Xflat = Xc.reshape(-1, L)
         mouts, souts = [], []
         for t, tab in enumerate(eng.far_tabs):
             Xw = _far_window(eng, Xflat, t)  # the bucket's ONE gather
-            mouts.append(_pair_dot(tab[:, :, : d * p], Xw))
+            mouts.append(_pair_dot(tab[:, :, : d * p], Xw, odt))
             vm = eng.far_vwmask[t][..., None]
             souts.append(_pair_dot(tab[:, :, d * p :], alive_of(Xw, vm)))
-        mom = mom + _combine_far(eng, mouts, d * p, L)
+        mom = mom + _combine_far(eng, mouts, d * p, L, dtype=odt)
         sm = sm + _combine_far(eng, souts, p, b)
 
+    Xo = XB.astype(odt) if out_dtype else XB
+    gs = eng.gsum.astype(odt)
     gaB = jnp.concatenate(
         [
-            eng.sig_g * mom[:, i * p : (i + 1) * p]
-            - XB * eng.gsum[..., i : i + 1]
+            (eng.sig_g.astype(odt) * mom[:, i * p : (i + 1) * p])
+            - Xo * gs[..., i : i + 1]
             for i in range(d)
         ],
         axis=-1,
-    )  # [nb, P, D*B*F]
+    )  # [nb, P, D*B*F] in odt
     pre_sm = eng.sig_w * sm
     return gaB, pre_sm
 

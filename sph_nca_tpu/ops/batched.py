@@ -67,6 +67,19 @@ def batched_gather_back(eng: CellEngine, SB: Array, b: int) -> Array:
     return jnp.swapaxes(flat, 0, 1)
 
 
+def expand_lanes(a: Array, f: int) -> Array:
+    """[rows, B] -> [rows, B*F] with each column repeated F times, as a
+    one-hot matmul (an MXU pass; jnp.repeat lowers to broadcast_in_dim
+    relayouts that profiled at ~0.3-0.7 ms each at [100k, 128])."""
+    b = a.shape[-1]
+    e = jnp.zeros((b, b * f), a.dtype).at[
+        jnp.repeat(jnp.arange(b), f), jnp.arange(b * f)
+    ].set(1.0)
+    return jax.lax.dot_general(
+        a, e, (((1,), (0,)), ((), ())), preferred_element_type=a.dtype
+    )
+
+
 def _bucket_rows(eng: CellEngine):
     """(md, w6, win_cells, vw) per bucket, plus row split sizes."""
     return (
@@ -98,12 +111,14 @@ def _win_gather_slots(slot_flat: Array, wc: Array, m: int) -> Array:
     return slot_flat[ws]
 
 
-@partial(jax.jit, static_argnames=("b", "use_alpha", "block_chunks"))
+@partial(jax.jit, static_argnames=("b", "use_alpha", "block_chunks",
+                                   "out_dtype"))
 def perceive_cells_batched(
     eng,
     SB: Array,  # [C, M, B*F]
     b: int,
     use_alpha: bool = True,
+    out_dtype=None,
     block_chunks: int = 1,
 ) -> Tuple[Array, Array]:
     """Fused batched perception + pre-step life-mask blur.
@@ -120,11 +135,14 @@ def perceive_cells_batched(
 
     A BandEngine (ops/bands.py, the round-3 throughput engine) routes to
     the band implementation — same contract, C = blocks / M = rows.
+    ``out_dtype="bfloat16"`` requests bf16 gradient output (band engine
+    only; the cell path always emits f32).
     """
     from .bands import BandEngine, perceive_band_batched
 
     if isinstance(eng, BandEngine):
-        return perceive_band_batched(eng, SB, b, use_alpha)
+        return perceive_band_batched(eng, SB, b, use_alpha,
+                                     out_dtype=out_dtype)
     if eng.blk_md is None:
         raise ValueError("engine was built without pair_tables")
     c, m, d = eng.xs.shape
