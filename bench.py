@@ -9,10 +9,10 @@ gated SPHNCA. The timed unit is the full NCA step (2 life-mask blurs +
 gradient perception + 48->256->33 MLP + gated update, nca.py:87-117) inside
 one jitted lax.scan.
 
-The measured configuration is the BATCHED-LANE engine (ops/batched.py):
+The measured configuration is the batched-lane BAND engine (ops/bands.py):
 8 independent rollouts of the same geometry packed into the TPU lane
 dimension — the reference's own training batch size (train-example.sh:11)
-— with bf16 pair tables and a bf16 update MLP. This is the framework's
+— with bf16 true-pair tables and a bf16 update MLP. This is the framework's
 aggregate-throughput path (training and fleet inference); the
 single-rollout latency path (Pallas recompute kernels) is reported in
 RESULTS.md.
@@ -59,7 +59,7 @@ def main():
         orthogonalize,
         rollout_mesh_batched,
     )
-    from sph_nca_tpu.ops.cells import build_cell_engine
+    from sph_nca_tpu.ops.bands import build_band_engine
 
     x_np = fibonacci_sphere(N_POINTS)
     # Support radius sized for ~30 neighbors on the surface disc
@@ -67,9 +67,10 @@ def main():
     area_per_point = 4.0 * np.pi * 0.8**2 / N_POINTS
     h = float(np.sqrt(30.0 * area_per_point / np.pi))
 
-    eng = build_cell_engine(
-        x_np, h, xla_tables=False, pair_tables="bfloat16"
-    )
+    # Band engine (ops/bands.py): curve-ordered pair tables sized by
+    # TRUE neighbor pairs, not 3^D cell windows — the round-3 compaction
+    # of the candidate-pair waste (VERDICT r2 item 1).
+    eng = build_band_engine(x_np, h, table_dtype="bfloat16")
 
     cfg = SPHNCAConfig(normalize_perception=1.0 / h)
     params = init_params(jax.random.key(0), cfg)
