@@ -210,7 +210,12 @@ def _blockdiag_mlp_weights(params: MLPParams, b: int, f: int, c: int,
     (profiled, RESULTS.md round 2). Instead the weights are expanded so
     the contraction runs over the full lane axis:
 
-      W1x [3*B*F, B*H]  with  W1x[(part,b,fi), (b2,j)] = W1[part*F+fi, j] * (b==b2)
+      W1x [3, B*F, B*H]  with  W1x[part, (b,fi), (b2,j)] = W1[part*F+fi, j] * (b==b2)
+                        kept split by input part (A, gA_x, gA_y) so the
+                        step contracts state and perception with
+                        SEPARATE dots — no [rows, 3*B*F] input concat
+                        (profiled 0.5 ms/step at [100k, 384]) and the
+                        h*k perception rescale folds into the gA blocks
       W2x [B*H, ...]    block-diagonal per sample, with its OUTPUT
                         columns pre-permuted into lane-aligned groups:
                         gated: [gate (B*F) | delta (B*F) | mult (B)]
@@ -228,7 +233,7 @@ def _blockdiag_mlp_weights(params: MLPParams, b: int, f: int, c: int,
     w1x = (
         w1.astype(dtype).reshape(3, 1, f, 1, hid)
         * eye[None, :, None, :, None]
-    ).reshape(3 * b * f, b * hid)
+    ).reshape(3, b * f, b * hid)
     b1x = jnp.tile(b1.astype(dtype), b)
 
     def expand_cols(wcols, bcols):
@@ -298,19 +303,18 @@ def nca_step_cells_batched(
         else jnp.float32(1.0)
     ydt = jnp.dtype(mlp_dtype) if mlp_dtype else SB.dtype
     bf = b * f
-    # y lanes: [A | gA_x | gA_y] per sample block — ONE lane concat of
-    # 128-lane arrays, no interleaving (reference nca.py:23-31 order)
-    y = jnp.concatenate(
-        [
-            SB.reshape(rows, bf).astype(ydt),
-            (jnp.asarray(scale, gaB.dtype)
-             * gaB[..., :2 * bf]).reshape(rows, 2 * bf).astype(ydt),
-        ],
-        axis=-1,
-    )  # [rows, 3*B*F]
 
     w1x, b1x, w2x, b2x = _blockdiag_mlp_weights(
         params, b, f, c, cfg.update_rule, ydt
+    )
+    # Layer 1 as two dots on the native operands (A from the carry, gA
+    # from perception) — no [rows, 3*B*F] input concat, and the h*k
+    # perception rescale (reference nca.py:30) folds into the gA weight
+    # blocks; both are loop-invariant, so XLA hoists them out of
+    # rollout scans.
+    w1a = w1x[0]
+    w1g = (jnp.asarray(scale, ydt) * w1x[1:]).reshape(
+        2 * bf, w1x.shape[-1]
     )
     # HIGH = bf16x3 passes (~tf32), matching apply_mlp's documented
     # choice; HIGHEST (full f32) tripled the training backward's GEMM
@@ -318,7 +322,13 @@ def nca_step_cells_batched(
     prec = (
         jax.lax.Precision.DEFAULT if mlp_dtype else jax.lax.Precision.HIGH
     )
-    hmid = jnp.maximum(jnp.matmul(y, w1x, precision=prec) + b1x, 0.0)
+    ga2 = gaB[..., : 2 * bf].reshape(rows, 2 * bf).astype(ydt)
+    hmid = jnp.maximum(
+        jnp.matmul(SB.reshape(rows, bf).astype(ydt), w1a, precision=prec)
+        + jnp.matmul(ga2, w1g, precision=prec)
+        + b1x,
+        0.0,
+    )
     dA = (
         jnp.matmul(hmid, w2x, precision=prec) + b2x
     ).astype(jnp.float32)  # columns are lane-aligned groups (see above)
