@@ -87,7 +87,7 @@ def main():
     roll = jax.jit(
         lambda e, A, t, key: rollout_mesh_batched(
             params, cfg, e, A, nrm, t, key, STEPS, h,
-            mlp_dtype="bfloat16",
+            mlp_dtype="bfloat16", unroll=2,
         )[0]
     )
 

@@ -268,6 +268,7 @@ def nca_step_cells_batched(
     mlp_dtype: Optional[str] = None,
     perception_transform=None,
     block_chunks: int = 1,
+    blur_extra: Optional[Array] = None,  # [C, M, Ke] lanes to co-blur
 ) -> Array:
     """One NCA step over B same-geometry rollouts batched into the lane
     dimension (ops/batched.py layout). Semantically nca_step_cells per
@@ -275,6 +276,13 @@ def nca_step_cells_batched(
     sample). This is the TPU throughput path: every hot operand keeps a
     128-lane-multiple minor dim (no relayouts) and the pair tables are
     read once per batch.
+
+    ``blur_extra`` lanes ride the perception pass's life-mask blur
+    (ops/batched.perceive_cells_batched ``extra``); their blur is handed
+    to ``perception_transform(gaB, extra_blurred)``, which must then
+    return ``(gaB', aux)`` — the step returns ``(nSB, aux)``. Used by
+    the surface rollout to fuse the tangent diffusion (reference
+    nca.py:352-357) into the step's own pair pass.
 
     ``mlp_dtype="bfloat16"`` runs the expanded update MLP in bf16 (the
     throughput setting); the default keeps f32 at Precision.HIGH
@@ -289,15 +297,24 @@ def nca_step_cells_batched(
     f = SB.shape[-1] // b
     rows = C * M
 
-    gaB, pre_sm = perceive_cells_batched(
-        eng, SB, b, cfg.use_alpha, block_chunks=block_chunks,
-        out_dtype=mlp_dtype,
-    )  # [C, M, D*B*F] d-major lanes, [C, M, B]
-    prev_mask = pre_sm > ALIVE_THRESHOLD
-    if perception_transform is not None:
-        # e.g. tangent projection for surface rollouts
-        # (models/surface.project_tangent_space_lanes)
-        gaB = perception_transform(gaB)
+    transform_aux = None
+    if blur_extra is not None:
+        gaB, pre_sm, extra_bl = perceive_cells_batched(
+            eng, SB, b, cfg.use_alpha, block_chunks=block_chunks,
+            out_dtype=mlp_dtype, extra=blur_extra,
+        )
+        prev_mask = pre_sm > ALIVE_THRESHOLD
+        gaB, transform_aux = perception_transform(gaB, extra_bl)
+    else:
+        gaB, pre_sm = perceive_cells_batched(
+            eng, SB, b, cfg.use_alpha, block_chunks=block_chunks,
+            out_dtype=mlp_dtype,
+        )  # [C, M, D*B*F] d-major lanes, [C, M, B]
+        prev_mask = pre_sm > ALIVE_THRESHOLD
+        if perception_transform is not None:
+            # e.g. tangent projection for surface rollouts
+            # (models/surface.project_tangent_space_lanes)
+            gaB = perception_transform(gaB)
 
     scale = h * cfg.normalize_perception if cfg.normalize_perception > 0 \
         else jnp.float32(1.0)
@@ -365,7 +382,10 @@ def nca_step_cells_batched(
     living = expand_lanes(
         (prev_mask & new_mask).reshape(rows, b).astype(nS.dtype), f
     )
-    return (nS * living).reshape(C, M, bf)
+    out = (nS * living).reshape(C, M, bf)
+    if blur_extra is not None:
+        return out, transform_aux
+    return out
 
 
 def rollout_cells_batched(

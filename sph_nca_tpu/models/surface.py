@@ -332,11 +332,46 @@ def _diffuse_td(
         )
     else:
         alpha = jnp.ones((rows, b), SB.dtype)
-    w = jnp.clip(alpha, 0.0, 1.0)  # [rows, B]
-    m = (1.0 - w_multiplier) + w * w_multiplier
-    # blur input lanes d-major: [m(B) | m*t_x(B) | m*t_y(B) | m*t_z(B)]
-    mt = jnp.concatenate([m] + [m * t for t in td], axis=-1)
+    w = _diffuse_weights(SB, b, use_alpha)
+    mt = _diffuse_mt(w, td, b, w_multiplier)
     mt2 = blur_batched(eng, mt.reshape(C, M, 4 * b), b).reshape(rows, 4 * b)
+    return _diffuse_combine(mt2, w, td, nd, b, lerp_multiplier)
+
+
+def _diffuse_weights(SB: Array, b: int, use_alpha: bool) -> Array:
+    """w = clip(activity, 0, 1) per (row, sample) — [rows, B]
+    (reference nca.py:313)."""
+    rows = SB.shape[0] * SB.shape[1]
+    f = SB.shape[-1] // b
+    if use_alpha:
+        from ..ops.bands import _take_lanes
+
+        alpha = _take_lanes(
+            SB.reshape(rows, b * f), jnp.arange(b) * f + 3, b
+        )
+    else:
+        alpha = jnp.ones((rows, b), SB.dtype)
+    return jnp.clip(alpha, 0.0, 1.0)
+
+
+def _diffuse_mt(w: Array, td: tuple, b: int, w_multiplier: float) -> Array:
+    """Diffusion blur input lanes [m | m*t_x | m*t_y | m*t_z]
+    ([rows, 4B], reference nca.py:315-317)."""
+    m = (1.0 - w_multiplier) + w * w_multiplier
+    return jnp.concatenate([m] + [m * t.astype(w.dtype) for t in td],
+                           axis=-1)
+
+
+def _diffuse_combine(
+    mt2: Array,  # [rows, 4B] blurred [m | m*t] lanes (f32)
+    w: Array,  # [rows, B] activity weights
+    td: tuple,
+    nd: tuple,
+    b: int,
+    lerp_multiplier: float,
+) -> tuple:
+    """Tail of the diffusion: normalize by blurred mass, lerp toward the
+    previous tangent where active, re-orthogonalize (nca.py:318-323)."""
     denom = 1e-8 + mt2[:, :b]
     lerp = w * lerp_multiplier
     t2d = []
@@ -345,7 +380,7 @@ def _diffuse_td(
         t2d.append(ti + (td[i] - ti) * lerp)
     # orthogonalize against the shared normal, renormalize (per sample)
     ndot = t2d[0] * nd[0] + t2d[1] * nd[1] + t2d[2] * nd[2]
-    t2d = [t2d[i] - nd[i] * ndot for i in range(3)]
+    t2d = [t2d[i] - nd[i].astype(t2d[i].dtype) * ndot for i in range(3)]
     norm = jnp.sqrt(t2d[0] ** 2 + t2d[1] ** 2 + t2d[2] ** 2)
     return tuple(t / (1e-8 + norm) for t in t2d)
 
@@ -410,11 +445,24 @@ def rollout_mesh_batched(
     lerp_multiplier: float = 1.0,
     w_multiplier: float = 1.0,
     mlp_dtype: Optional[str] = None,
+    unroll: int = 1,
 ):
     """Batch-B mesh/3D-surface rollout on the batched-lane engine — the
     aggregate-throughput form of rollout_mesh_cells (reference
     ``sample_mesh``, nca.py:338-381): per step, tangent-projected
     perception + detached per-sample tangent diffusion.
+
+    The diffusion blur is FUSED into the next step's perception pass
+    (perceive's ``extra`` lanes): the reference computes
+    T_t = diffuse(A_t, T_{t-1}) at the END of step t-1 and projects
+    step t's perception with it — algebraically the same blur inputs
+    (A_t, T_{t-1}) are available at the START of step t, so the blur
+    rides step t's own pair pass and the standalone diffusion pass
+    disappears. Step 1 selects the undiffused T_0 (the reference
+    projects the first step with the seed tangents as-is), and one
+    standalone diffusion after the scan produces the final T_K.
+    Semantics are exactly ``sample_mesh``'s; only the pass schedule
+    differs.
 
     Returns (final_A [B, N, C], final_T [B, N, 3])."""
     from ..ops.batched import batched_gather_back, batched_scatter
@@ -438,25 +486,51 @@ def rollout_mesh_batched(
     keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
         jnp.arange(n_steps)
     )
+    first = (jnp.arange(n_steps) == 0)
 
-    def body(carry, k):
+    def body(carry, xs):
+        k, is_first = xs
         SB, td = carry
-        nSB = nca_step_cells_batched(
+        # diffusion blur inputs from the CURRENT state + carried tangent
+        # (detached, reference nca.py:357)
+        w = jax.lax.stop_gradient(
+            _diffuse_weights(SB, b, cfg.use_alpha)
+        )
+        mt = _diffuse_mt(w, tuple(jax.lax.stop_gradient(t) for t in td),
+                         b, w_multiplier)
+
+        def transform(ga, mt2):
+            dtd = _diffuse_combine(
+                mt2.reshape(rows, 4 * b), w, td, nd, b, lerp_multiplier
+            )
+            # step 1 projects with the seed tangents (no diffusion has
+            # happened yet in the reference schedule)
+            ntd = tuple(
+                jnp.where(is_first, t, dt) for t, dt in zip(td, dtd)
+            )
+            return _project_td(ga, nd, ntd, b), ntd
+
+        nSB, ntd = nca_step_cells_batched(
             params, cfg, eng, SB, b, k, h,
             fire_rate=fire_rate, mlp_dtype=mlp_dtype,
-            perception_transform=lambda ga: _project_td(ga, nd, td, b),
-        )
-        ntd = jax.lax.stop_gradient(
-            _diffuse_td(
-                eng, nd, td, nSB, b,
-                lerp_multiplier=lerp_multiplier,
-                w_multiplier=w_multiplier,
-                use_alpha=cfg.use_alpha,
-            )
+            perception_transform=transform,
+            blur_extra=mt.reshape(C, M, 4 * b),
         )
         return (nSB, ntd), None
 
-    (final_S, final_td), _ = jax.lax.scan(body, (SB0, td0), keys)
+    (final_S, td_prev), _ = jax.lax.scan(
+        body, (SB0, td0), (keys, first), unroll=unroll
+    )
+    # the scan's carry holds T_{K-1}; the reference's step K ends with
+    # T_K = diffuse(A_K, T_{K-1})
+    final_td = jax.lax.stop_gradient(
+        _diffuse_td(
+            eng, nd, td_prev, final_S, b,
+            lerp_multiplier=lerp_multiplier,
+            w_multiplier=w_multiplier,
+            use_alpha=cfg.use_alpha,
+        )
+    )
     ft = jnp.stack(final_td, axis=-1)  # [rows, B, 3]
     ft = ft.reshape(C, M, b * 3)
     return (

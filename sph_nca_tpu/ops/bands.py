@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -268,7 +268,8 @@ def perceive_band_batched(
     b: int,
     use_alpha: bool = True,
     out_dtype=None,
-) -> Tuple[Array, Array]:
+    extra: Optional[Array] = None,  # [nb, P, Ke] extra lanes to blur
+) -> Tuple[Array, ...]:
     """Fused batched perception + pre-step life-mask blur.
 
     Returns (gaB [nb, P, D*B*F] d-major lane blocks, pre_sm [nb, P, B])
@@ -280,6 +281,15 @@ def perceive_band_batched(
     gradient dot and the life-mask blur dot: the alive indicator is
     derived from the gathered window's alpha lanes and the static
     ``far_vwmask`` instead of gathering a second alive array.
+
+    ``extra`` rides the life-mask blur pass: its lanes are appended to
+    the alive columns, so the SAME w6v-table dot (and the same far
+    window gather, widened by Ke lanes) also produces their SPH blur
+    (reference operators_batch.py:601-671 semantics — v_j lives in the
+    table, pad pairs are exactly zero). Used to fuse the surface
+    rollout's tangent diffusion (reference nca.py:312-323,352-357) into
+    the perception pass; returns a third output, the blurred extra
+    lanes [nb, P, Ke] (sig_W-scaled, f32).
 
     ``out_dtype="bfloat16"`` emits the gradient moments and gaB in bf16
     (the throughput setting when the update MLP runs bf16 anyway —
@@ -293,6 +303,7 @@ def perceive_band_batched(
     L = XB.shape[-1]
     f = L // b
     alpha_idx = jnp.arange(b) * f + 3
+    ke = 0 if extra is None else extra.shape[-1]
 
     def alive_of(Xw: Array, vmask: Array) -> Array:
         # Xw [nw, W, L] (table dtype); vmask [nw, W, 1] — 1.0 real rows
@@ -313,20 +324,34 @@ def perceive_band_batched(
         acol = jnp.broadcast_to(
             (eng.vs > 0.0)[..., None], (nb, p, b)
         ).astype(tdt)
+    if extra is not None:
+        # the extra lanes share the alive window/dot (pad-pair table
+        # entries are zero, so no mask is needed on them)
+        acol = jnp.concatenate([acol, extra.astype(tdt)], axis=-1)
     Wb = band_window(Xc)  # [nb, 3P, L]
     mom = _pair_dot(eng.Tband[:, :, : d * p], Wb, odt)  # [nb, D*P, L]
     sm = _pair_dot(eng.Tband[:, :, d * p :], band_window(acol))
 
     if eng.far_blocks:
         Xflat = Xc.reshape(-1, L)
+        # the extra lanes get their OWN narrow gather per bucket
+        # (widening the state rows to L+Ke lanes broke the lane tiling
+        # of the packed [R/g, g*L] gather source — profiled +0.36
+        # ms/step of relayout; two tile-aligned gathers are cheaper)
+        eflat = None if extra is None else extra.astype(tdt).reshape(-1, ke)
         mouts, souts = [], []
         for t, tab in enumerate(eng.far_tabs):
-            Xw = _far_window(eng, Xflat, t)  # the bucket's ONE gather
+            Xw = _far_window(eng, Xflat, t)  # the bucket's state gather
             mouts.append(_pair_dot(tab[:, :, : d * p], Xw, odt))
             vm = eng.far_vwmask[t][..., None]
-            souts.append(_pair_dot(tab[:, :, d * p :], alive_of(Xw, vm)))
+            aw = alive_of(Xw, vm)
+            if extra is not None:
+                aw = jnp.concatenate(
+                    [aw, _far_window(eng, eflat, t)], axis=-1
+                )
+            souts.append(_pair_dot(tab[:, :, d * p :], aw))
         mom = mom + _combine_far(eng, mouts, d * p, L, dtype=odt)
-        sm = sm + _combine_far(eng, souts, p, b)
+        sm = sm + _combine_far(eng, souts, p, b + ke)
 
     Xo = XB.astype(odt) if out_dtype else XB
     gs = eng.gsum.astype(odt)
@@ -338,8 +363,10 @@ def perceive_band_batched(
         ],
         axis=-1,
     )  # [nb, P, D*B*F] in odt
-    pre_sm = eng.sig_w * sm
-    return gaB, pre_sm
+    if extra is None:
+        return gaB, eng.sig_w * sm
+    sm = eng.sig_w * sm
+    return gaB, sm[..., :b], sm[..., b:]
 
 
 @partial(jax.jit, static_argnames=("b", "use_alpha"))
@@ -421,8 +448,20 @@ def _true_pairs(x: np.ndarray, h: float, period) -> tuple:
     """All true SPH pairs (|r| < h) of rank-ordered positions, via the
     cell stencil. Returns (pi, pj, dx [E, D], d2 [E]) with pi/pj rank
     indices; periodic pairs appear once per contributing image (their
-    table entries accumulate). Vectorized; chunked over stencil offsets
-    so peak memory stays O(N)."""
+    table entries accumulate). Native C++ grid scan when available
+    (sphgrid_true_pairs — profiled 10.5 s -> ~1 s at 100k points);
+    vectorized numpy fallback below, chunked over stencil offsets so
+    peak memory stays O(N). Pair ORDER differs between the two (numpy
+    groups by stencil offset, native by particle) — everything
+    downstream is order-independent accumulation."""
+    from .. import native
+
+    nat = native.true_pairs(
+        x, float(h),
+        None if period is None else np.asarray(period, np.float64),
+    )
+    if nat is not None:
+        return nat
     n, d = x.shape
     if period is not None:
         per = np.broadcast_to(np.asarray(period, np.float64), (d,))
@@ -521,8 +560,8 @@ def build_band_engine(
     *,
     period=None,
     block_rows: int = 64,
-    far_group: int = 8,
-    far_buckets: int = 8,
+    far_group: int = 4,
+    far_buckets: int = 16,
     smoothing: str = K.DEFAULT_SMOOTHING,
     gradient_kernel: str = K.DEFAULT_GRADIENT,
     table_dtype: str = "float32",
@@ -533,7 +572,11 @@ def build_band_engine(
     ``x``: [N, D]. ``block_rows`` (P) rows per band block; ``far_group``
     (g) particles per far column group; ``far_buckets`` static width
     classes for the far lists. ``block_multiple`` pads the block count
-    to a multiple (sharding evenness).
+    to a multiple (sharding evenness). Defaults g=4 / 16 buckets were
+    swept on the 100k surface bench (round 3): vs g=8 / 8 buckets they
+    cut far-table padding 349->291 MB and the isolated perception scan
+    1760->1442 us/step (the far pass is dot-count/overhead-bound, not
+    table-bandwidth-bound — finer groups pad fewer phantom pairs).
 
     Pair weights are computed in float64 at build time and cast once to
     ``table_dtype`` ("float32" | "bfloat16") — bfloat16 halves table
@@ -613,11 +656,20 @@ def build_band_engine(
     ri = pi % P
     rj = pj % P
 
+    from .. import native as _native
+
     def fill_table(rows_sel, cols_sel, ri_sel, md_sel, w6_sel, nrows, wcols):
         """Accumulate a [nrows, wcols, CC] f32 table from pre-selected
-        pairs via ONE combined bincount (multi-image pairs accumulate).
-        A single bincount zeroes the (large) output once instead of
-        per-component — the dominant cost at 100k+ points."""
+        pairs (multi-image pairs accumulate). Native C++ scatter-add
+        when available (sphgrid_accum_table — profiled 13.2 s -> ~0.5 s
+        at 100k); fallback: ONE combined bincount, which zeroes the
+        (large) output once instead of per-component."""
+        tab = _native.accum_table(
+            rows_sel, cols_sel, ri_sel,
+            np.ascontiguousarray(md_sel), w6_sel, nrows, wcols, P,
+        )
+        if tab is not None:
+            return tab
         base = (rows_sel * wcols + cols_sel) * CC + ri_sel
         idx = np.concatenate(
             [base + c * P for c in range(d)] + [base + d * P]
@@ -648,6 +700,7 @@ def build_band_engine(
     order_rows = []  # bucket-concat row order (block ids)
     lo = 0
     for wmax in cuts:
+        lo0 = lo
         blks = np.where((grp_count > lo) & (grp_count <= wmax))[0]
         lo = wmax
         if len(blks) == 0:
@@ -657,7 +710,9 @@ def build_band_engine(
         row_of = np.full(nb, -1, np.int64)
         row_of[blks] = np.arange(len(blks))
         # this bucket's (block, group) entries — ubg is sorted, block-major
-        selb = np.isin(ub, blks)
+        # (bucket membership is a width-threshold test, not an isin —
+        # np.isin here profiled 5.8 s of the 100k build)
+        selb = (grp_count[ub] > lo0) & (grp_count[ub] <= wmax)
         bsel, gsel = ub[selb], ug[selb]
         cnts = np.bincount(row_of[bsel], minlength=len(blks))
         startp = np.concatenate([[0], np.cumsum(cnts)[:-1]])
@@ -667,7 +722,7 @@ def build_band_engine(
         far_groups_l.append(grp_list.astype(np.int32))
         # pair columns: (position of the pair's group in grp_list) * g + rj%g
         keys_bg = bsel * Rg + gsel  # sorted ascending (subset of ubg)
-        sel_pairs = far & np.isin(bi, blks)
+        sel_pairs = far & (grp_count[bi] > lo0) & (grp_count[bi] <= wmax)
         ppos = np.searchsorted(
             keys_bg, bi[sel_pairs] * Rg + pj[sel_pairs] // g
         )
@@ -685,22 +740,35 @@ def build_band_engine(
     # ---- quantize + derived arrays --------------------------------------
     # quantization happens host-side (ml_dtypes bfloat16 == TPU bf16) so
     # gsum can be derived from the exact quantized values without a
-    # device round-trip
+    # device round-trip; the native cast (sphgrid_cast_bf16_gsum, RTE —
+    # same rounding as ml_dtypes) also produces the quantized row sums
+    # in the same pass (the ml_dtypes casts profiled 15.6 s at 100k)
+    gs = None
     if table_dtype == "bfloat16":
-        import ml_dtypes
+        nat = _native.cast_bf16_gsum(Tband)
+        if nat is not None:
+            Tband_n, gs = nat
+            far_n = []
+            for blks, t in zip(far_blocks, far_tabs):
+                tq, gst = _native.cast_bf16_gsum(t)
+                far_n.append(tq)
+                gs[blks] += gst
+        else:
+            import ml_dtypes
 
-        bf16 = ml_dtypes.bfloat16
-        Tband_n = Tband.astype(bf16)
-        far_n = [t.astype(bf16) for t in far_tabs]
+            bf16 = ml_dtypes.bfloat16
+            Tband_n = Tband.astype(bf16)
+            far_n = [t.astype(bf16) for t in far_tabs]
     else:
         Tband_n = Tband
         far_n = far_tabs
 
-    # gsum from the quantized tables (sum over window rows)
-    gs = Tband_n.astype(np.float32).sum(axis=1)  # [nb, CC]
-    for blks, tq in zip(far_blocks, far_n):
-        if len(blks):
-            gs[blks] += tq.astype(np.float32).sum(axis=1)
+    if gs is None:
+        # gsum from the quantized tables (sum over window rows)
+        gs = Tband_n.astype(np.float32).sum(axis=1)  # [nb, CC]
+        for blks, tq in zip(far_blocks, far_n):
+            if len(blks):
+                gs[blks] += tq.astype(np.float32).sum(axis=1)
     gsum = sig_g * gs.reshape(nb, d + 1, P).transpose(0, 2, 1)[..., :d]
     Tband_q = jnp.asarray(Tband_n)
     far_q = [jnp.asarray(t) for t in far_n]

@@ -120,7 +120,8 @@ def perceive_cells_batched(
     use_alpha: bool = True,
     out_dtype=None,
     block_chunks: int = 1,
-) -> Tuple[Array, Array]:
+    extra: Optional[Array] = None,  # [C, M, Ke] extra lanes to blur
+) -> Tuple[Array, ...]:
     """Fused batched perception + pre-step life-mask blur.
 
     Returns (gaB [C, M, D*B*F] — d-major LANE blocks: lanes
@@ -137,12 +138,17 @@ def perceive_cells_batched(
     the band implementation — same contract, C = blocks / M = rows.
     ``out_dtype="bfloat16"`` requests bf16 gradient output (band engine
     only; the cell path always emits f32).
+
+    ``extra`` [C, M, Ke]: extra lanes to SPH-blur in the same pass
+    (returns a third output [C, M, Ke]); the band engine fuses them
+    into the life-mask window/dot, the cell engine falls back to a
+    separate blur_batched pass.
     """
     from .bands import BandEngine, perceive_band_batched
 
     if isinstance(eng, BandEngine):
         return perceive_band_batched(eng, SB, b, use_alpha,
-                                     out_dtype=out_dtype)
+                                     out_dtype=out_dtype, extra=extra)
     if eng.blk_md is None:
         raise ValueError("engine was built without pair_tables")
     c, m, d = eng.xs.shape
@@ -238,7 +244,9 @@ def perceive_cells_batched(
 
     gaB = jnp.concatenate(gas, 0).reshape(c, m, d * b * f)
     pre_sm = jnp.concatenate(sms, 0).reshape(c, m, b)
-    return gaB, pre_sm
+    if extra is None:
+        return gaB, pre_sm
+    return gaB, pre_sm, blur_batched(eng, extra, b)
 
 
 @partial(jax.jit, static_argnames=("b", "use_alpha"))

@@ -240,3 +240,40 @@ def test_block_multiple_pads_evenly(rng):
     got = eng.gather_back(gradient_band(eng, eng.scatter(A)).reshape(
         eng.num_cells, eng.slots_per_cell, -1)).reshape(100, F, 2)
     assert rel_err(ref, got) < 2e-5
+
+
+def test_band_mesh_rollout_matches_cell_engine(rng):
+    """rollout_mesh_batched on the band engine (fused diffusion riding
+    the perception pass via perceive's ``extra`` lanes) == the same
+    rollout on the cell engine (standalone diffusion blur) at
+    fire_rate=1. Exercises the fused schedule incl. the first-step
+    tangent select and the post-scan final diffusion."""
+    from sph_nca_tpu.models.surface import (
+        normalize,
+        orthogonalize,
+        rollout_mesh_batched,
+    )
+
+    x = rng.normal(size=(N, 3)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True) + 1e-9
+    x *= 0.8
+    nrm = jnp.asarray(x / 0.8)
+    beng = build_band_engine(jnp.asarray(x), H, block_rows=16)
+    ceng = build_cell_engine(jnp.asarray(x), H, pair_tables="float32")
+    assert len(beng.far_blocks) > 0  # the fused far path must be live
+    cfg = SPHNCAConfig(channels=F, hidden=32, normalize_perception=1.0 / H)
+    params = init_params(jax.random.key(0), cfg)
+    A0 = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    t0r = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    t0 = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
+
+    fa, ft = rollout_mesh_batched(
+        params, cfg, beng, A0, nrm, t0, jax.random.key(1), 4, H,
+        fire_rate=1.0,
+    )
+    ca, ct = rollout_mesh_batched(
+        params, cfg, ceng, A0, nrm, t0, jax.random.key(1), 4, H,
+        fire_rate=1.0,
+    )
+    assert rel_err(ca, fa) < 1e-4
+    assert rel_err(ct, ft) < 1e-4
