@@ -57,6 +57,30 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.sphgrid_true_pairs.restype = ctypes.c_int64
+        lib.sphgrid_true_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.sphgrid_accum_table.restype = None
+        lib.sphgrid_accum_table.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.sphgrid_cast_bf16_gsum.restype = None
+        lib.sphgrid_cast_bf16_gsum.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -119,6 +143,94 @@ def fps(x: np.ndarray, m: int, start: int = 0) -> Optional[np.ndarray]:
     out = np.empty(m, np.int32)
     lib.sphgrid_fps(_fptr(x), n, d, m, start, _iptr(out))
     return out
+
+
+def true_pairs(
+    x: np.ndarray, h: float, period: Optional[np.ndarray] = None
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """All true SPH pairs |r| < h of rank-ordered positions (incl. self;
+    periodic pairs once per contributing image) — the native form of
+    ops/bands._true_pairs. Returns (pi, pj, dx [E, D] f64, d2 [E] f64)
+    or None if the native library is unavailable / grid degenerate."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float64)
+    n, d = x.shape
+    p_ptr = ctypes.POINTER(ctypes.c_double)()
+    if period is not None:
+        p_arr = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(period, np.float64), (d,))
+        )
+        p_ptr = p_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    xp = x.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    null_i = ctypes.POINTER(ctypes.c_int32)()
+    null_d = ctypes.POINTER(ctypes.c_double)()
+    e = lib.sphgrid_true_pairs(xp, n, d, ctypes.c_double(h), p_ptr, 0,
+                               null_i, null_i, null_d, null_d)
+    if e < 0:
+        return None
+    pi = np.empty(e, np.int32)
+    pj = np.empty(e, np.int32)
+    dx = np.empty((e, d), np.float64)
+    d2 = np.empty(e, np.float64)
+    e2 = lib.sphgrid_true_pairs(
+        xp, n, d, ctypes.c_double(h), p_ptr, e, _iptr(pi), _iptr(pj),
+        dx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        d2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    assert e2 == e
+    return pi, pj, dx, d2
+
+
+def accum_table(
+    rows: np.ndarray, cols: np.ndarray, ri: np.ndarray, mdv: np.ndarray,
+    w6v: np.ndarray, nrows: int, wcols: int, p: int,
+) -> Optional[np.ndarray]:
+    """Accumulate pair weights into a fresh f32 table
+    [nrows, wcols, (d+1)*P] (ops/bands.fill_table layout), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    e, d = mdv.shape
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    ri = np.ascontiguousarray(ri, np.int32)
+    mdv = np.ascontiguousarray(mdv, np.float64)
+    w6v = np.ascontiguousarray(w6v, np.float64)
+    tab = np.zeros((nrows, wcols, (d + 1) * p), np.float32)
+    lib.sphgrid_accum_table(
+        _iptr(rows), _iptr(cols), _iptr(ri),
+        mdv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        w6v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        e, d, p, wcols, _fptr(tab),
+    )
+    return tab
+
+
+def cast_bf16_gsum(
+    tab: np.ndarray, with_gsum: bool = True
+) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    """Round-to-nearest-even f32 -> bfloat16 cast of a table
+    [nrows, wrows, cc]; optionally also the f32 sum of the QUANTIZED
+    values over the window-row axis ([nrows, cc] — the gsum self-term).
+    Returns (bf16 array via ml_dtypes view, gs or None), or None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ml_dtypes
+
+    tab = np.ascontiguousarray(tab, np.float32)
+    nrows, wrows, cc = tab.shape
+    dst = np.empty(tab.shape, np.uint16)
+    gs = np.zeros((nrows, cc), np.float32) if with_gsum else None
+    lib.sphgrid_cast_bf16_gsum(
+        _fptr(tab), dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        nrows, wrows, cc,
+        _fptr(gs) if with_gsum else ctypes.POINTER(ctypes.c_float)(),
+    )
+    return dst.view(ml_dtypes.bfloat16), gs
 
 
 def cell_hash(x: np.ndarray, h: float, dims) -> Optional[np.ndarray]:
