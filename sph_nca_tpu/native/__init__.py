@@ -75,6 +75,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.sphgrid_fill_cast_bf16.restype = None
+        lib.sphgrid_fill_cast_bf16.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
+        ]
         lib.sphgrid_cast_bf16_gsum.restype = None
         lib.sphgrid_cast_bf16_gsum.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint16),
@@ -206,6 +216,50 @@ def accum_table(
         e, d, p, wcols, _fptr(tab),
     )
     return tab
+
+
+def fill_cast_bf16(
+    rows: np.ndarray, cols: np.ndarray, ri: np.ndarray, psel, pairs,
+    v: np.ndarray, h: float, nrows: int, wcols: int, p: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Fused table fill + bf16 quantize + quantized row sums from RAW
+    pair data (pair weights computed in C++, never materialized in
+    Python). ``pairs`` = (pi, pj, dx, d2) from true_pairs; ``psel``
+    indexes into them (None = all, aligned with rows/cols/ri); rows
+    must be non-decreasing. Returns (bf16 table [nrows, wcols,
+    (d+1)*p], gs [nrows, (d+1)*p] f32) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ml_dtypes
+
+    _, pj, dx, d2 = pairs
+    e = len(rows)
+    d = dx.shape[1]
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    ri = np.ascontiguousarray(ri, np.int32)
+    pj = np.ascontiguousarray(pj, np.int32)
+    dx = np.ascontiguousarray(dx, np.float64)
+    d2 = np.ascontiguousarray(d2, np.float64)
+    v = np.ascontiguousarray(v, np.float64)
+    psel_ptr = ctypes.POINTER(ctypes.c_int64)()
+    if psel is not None:
+        psel = np.ascontiguousarray(psel, np.int64)
+        assert len(psel) == e
+        psel_ptr = psel.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    cc = (d + 1) * p
+    out = np.empty((nrows, wcols, cc), np.uint16)
+    gs = np.zeros((nrows, cc), np.float32)
+    lib.sphgrid_fill_cast_bf16(
+        _iptr(rows), _iptr(cols), _iptr(ri), psel_ptr, e,
+        dx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        d2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), _iptr(pj),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(h), d, p, wcols, nrows,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), _fptr(gs),
+    )
+    return out.view(ml_dtypes.bfloat16), gs
 
 
 def cast_bf16_gsum(

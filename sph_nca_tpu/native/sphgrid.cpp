@@ -295,6 +295,74 @@ void sphgrid_accum_table(const int32_t* rows, const int32_t* cols,
   }
 }
 
+// Fused table fill + bf16 quantize + quantized row sums for one band/far
+// table, computing the pair weights (spiky md components and poly6 w6v,
+// reference kernels_impl.py math as in ops/bands.build_band_engine) on
+// the fly from raw pair data — the Python path materialized mdv/w6v and
+// their fancy-indexed selections as ~300 MB of fresh f64 temporaries,
+// which dominated the build on this host (page-fault-bound).
+//
+// rows/cols/ri are per-SELECTED-pair (aligned with psel, which indexes
+// the full pair arrays dx/d2/pj); rows must be non-decreasing so the
+// fill runs in row chunks against a small reusable f32 scratch (peak
+// scratch <= ~256 MB regardless of table size). out is the bf16 table
+// as uint16 bit patterns [nrows, wcols, (d+1)*P]; gs [nrows, (d+1)*P]
+// (zeroed by caller) receives the sums of the QUANTIZED entries over
+// the window-column axis.
+void sphgrid_fill_cast_bf16(const int32_t* rows, const int32_t* cols,
+                            const int32_t* ri, const int64_t* psel,
+                            int64_t e, const double* dx, const double* d2,
+                            const int32_t* pj, const double* v, double h,
+                            int d, int64_t P, int64_t wcols, int64_t nrows,
+                            uint16_t* out, float* gs) {
+  const int64_t cc = (d + 1) * P;
+  const int64_t row_elems = wcols * cc;
+  const double h2 = h * h;
+  int64_t chunk = ((int64_t)256 << 20) / (4 * row_elems);
+  if (chunk < 1) chunk = 1;
+  std::vector<float> scratch;
+  int64_t k = 0;
+  for (int64_t r0 = 0; r0 < nrows; r0 += chunk) {
+    const int64_t r1 = std::min(r0 + chunk, nrows);
+    scratch.assign((r1 - r0) * row_elems, 0.f);
+    for (; k < e && rows[k] < r1; ++k) {
+      const int64_t pk = psel ? psel[k] : k;
+      const double dd = d2[pk];
+      const double vj = v[pj[pk]];
+      const double w6 = (h2 - dd) * (h2 - dd) * (h2 - dd);
+      double mag = 0.0;
+      if (dd > 0.0) {
+        const double dist = std::sqrt(dd);
+        mag = 3.0 * (h - dist) * (h - dist) / dist;
+      }
+      float* base = scratch.data() +
+                    ((int64_t)(rows[k] - r0) * wcols + cols[k]) * cc + ri[k];
+      for (int c = 0; c < d; ++c)
+        base[c * P] += (float)(mag * dx[pk * d + c] * vj);
+      base[d * P] += (float)(w6 * vj);
+    }
+    // quantize the chunk (RTE) + accumulate quantized row sums
+    const uint32_t* su = (const uint32_t*)scratch.data();
+    uint16_t* du = out + r0 * row_elems;
+    const int64_t total = (r1 - r0) * row_elems;
+    for (int64_t t = 0; t < total; ++t) {
+      const uint32_t u = su[t];
+      du[t] = (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+    }
+    for (int64_t r = r0; r < r1; ++r) {
+      const uint16_t* dr = out + r * row_elems;
+      float* gr = gs + r * cc;
+      for (int64_t w = 0; w < wcols; ++w)
+        for (int64_t c = 0; c < cc; ++c) {
+          const uint32_t back = (uint32_t)dr[w * cc + c] << 16;
+          float f;
+          std::memcpy(&f, &back, 4);
+          gr[c] += f;
+        }
+    }
+  }
+}
+
 // f32 -> bf16 cast (round-to-nearest-even, matching ml_dtypes/TPU),
 // optionally accumulating the QUANTIZED values over the window-row axis
 // into gs [nrows, cc] f32 (the gsum self-term of ops/bands, derived
@@ -302,26 +370,25 @@ void sphgrid_accum_table(const int32_t* rows, const int32_t* cols,
 // src [nrows, wrows, cc] -> dst (same shape, uint16 bit pattern).
 void sphgrid_cast_bf16_gsum(const float* src, uint16_t* dst, int64_t nrows,
                             int64_t wrows, int64_t cc, float* gs) {
+  // flat vectorizable cast pass (round to nearest even on the upper
+  // 16 bits), then an optional row-sum pass over the quantized values
+  const uint32_t* su = (const uint32_t*)src;
+  const int64_t total = nrows * wrows * cc;
+  for (int64_t t = 0; t < total; ++t) {
+    const uint32_t u = su[t];
+    dst[t] = (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+  }
+  if (!gs) return;
   for (int64_t r = 0; r < nrows; ++r) {
-    const float* sr = src + r * wrows * cc;
-    uint16_t* dr = dst + r * wrows * cc;
-    float* gr = gs ? gs + r * cc : nullptr;
-    for (int64_t w = 0; w < wrows; ++w) {
+    const uint16_t* dr = dst + r * wrows * cc;
+    float* gr = gs + r * cc;
+    for (int64_t w = 0; w < wrows; ++w)
       for (int64_t c = 0; c < cc; ++c) {
-        uint32_t u;
-        std::memcpy(&u, sr + w * cc + c, 4);
-        // round to nearest even on the upper 16 bits
-        uint32_t rounded = u + 0x7FFFu + ((u >> 16) & 1u);
-        uint16_t b = (uint16_t)(rounded >> 16);
-        dr[w * cc + c] = b;
-        if (gr) {
-          uint32_t back = (uint32_t)b << 16;
-          float f;
-          std::memcpy(&f, &back, 4);
-          gr[c] += f;
-        }
+        const uint32_t back = (uint32_t)dr[w * cc + c] << 16;
+        float f;
+        std::memcpy(&f, &back, 4);
+        gr[c] += f;
       }
-    }
   }
 }
 

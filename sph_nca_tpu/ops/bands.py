@@ -589,6 +589,17 @@ def build_band_engine(
             f"BandEngine implements poly6/spiky only (got {smoothing!r}/"
             f"{gradient_kernel!r}); use ops.build_graph for other kernels"
         )
+    import os as _os
+    import time as _time
+
+    _prof = bool(_os.environ.get("SPH_NCA_BUILD_PROFILE"))
+    _t0 = _time.perf_counter()
+
+    def _tick(msg):
+        if _prof:
+            print(f"[band build {_time.perf_counter() - _t0:7.2f}s] {msg}",
+                  flush=True)
+
     x = np.asarray(x, np.float64)
     n, d = x.shape
     P = int(block_rows)
@@ -612,6 +623,7 @@ def build_band_engine(
     fl = np.floor(x / cell_size).astype(np.int64)
     if per is not None:
         fl = np.mod(fl, ncell)
+    _tick("cells")
     code = _morton_code(fl - fl.min(axis=0))
     order = np.argsort(code, kind="stable")
     rank_of_particle = np.empty(n, np.int64)
@@ -624,6 +636,7 @@ def build_band_engine(
     R = nb * P
 
     pi, pj, dx, d2 = _true_pairs(xr, float(h), per)
+    _tick(f"pairs: {len(pi)}")
 
     # volumes: v_i = 1 / (sigma_W sum_j W(d2)), reference :70-76
     sig_w = float(K.get_smoothing_kernel(smoothing).norm(h, d))
@@ -633,12 +646,22 @@ def build_band_engine(
     inv_v = sig_w * np.bincount(pi, weights=w6, minlength=R)
     v = np.where(inv_v > 0.0, 1.0 / np.maximum(inv_v, 1e-300), 0.0)
 
-    dist = np.sqrt(np.where(d2 > 0.0, d2, 1.0))
-    mag = np.where(d2 > 0.0, 3.0 * (h - dist) ** 2 / dist, 0.0)
-    vj = v[pj]
-    w6v = w6 * vj  # poly6 core * source volume
-    mdv = mag[:, None] * dx * vj[:, None]  # [E, D]
+    from .. import native as _native
 
+    # fused native fill (bf16 tables): the pair weights are computed
+    # inside sphgrid_fill_cast_bf16 from raw (dx, d2, v) — materializing
+    # mdv/w6v and their per-table fancy selections in numpy profiled
+    # ~10 s of fresh-page f64 temporaries at 100k on this host
+    fused = table_dtype == "bfloat16" and _native.available()
+    if not fused:
+        dist = np.sqrt(np.where(d2 > 0.0, d2, 1.0))
+        mag = np.where(d2 > 0.0, 3.0 * (h - dist) ** 2 / dist, 0.0)
+        vj = v[pj]
+        w6v = w6 * vj  # poly6 core * source volume
+        mdv = mag[:, None] * dx * vj[:, None]  # [E, D]
+    del w6
+
+    _tick("weights")
     bi = pi // P
     bj = pj // P
     # band slot: 1 = same block, 2 = next (mod nb), 0 = previous (mod nb)
@@ -656,34 +679,40 @@ def build_band_engine(
     ri = pi % P
     rj = pj % P
 
-    from .. import native as _native
+    pairs = (pi, pj, dx, d2)
 
-    def fill_table(rows_sel, cols_sel, ri_sel, md_sel, w6_sel, nrows, wcols):
-        """Accumulate a [nrows, wcols, CC] f32 table from pre-selected
-        pairs (multi-image pairs accumulate). Native C++ scatter-add
-        when available (sphgrid_accum_table — profiled 13.2 s -> ~0.5 s
-        at 100k); fallback: ONE combined bincount, which zeroes the
-        (large) output once instead of per-component."""
+    def fill_table(psel, cols_sel, rows_sel, nrows, wcols):
+        """Table for the selected pairs (psel indexes the pair arrays;
+        rows_sel non-decreasing; multi-image duplicates accumulate).
+        Fused mode returns (bf16 table, quantized row sums); otherwise
+        an f32 table via the native scatter-add (sphgrid_accum_table) or
+        the ONE-combined-bincount numpy fallback."""
+        ri_sel = ri[psel]
+        if fused:
+            return _native.fill_cast_bf16(
+                rows_sel, cols_sel, ri_sel, psel, pairs, v, float(h),
+                nrows, wcols, P,
+            )
+        md_sel, w6_sel = mdv[psel], w6v[psel]
         tab = _native.accum_table(
             rows_sel, cols_sel, ri_sel,
             np.ascontiguousarray(md_sel), w6_sel, nrows, wcols, P,
         )
         if tab is not None:
-            return tab
+            return tab, None
         base = (rows_sel * wcols + cols_sel) * CC + ri_sel
         idx = np.concatenate(
             [base + c * P for c in range(d)] + [base + d * P]
         )
         w = np.concatenate([md_sel[:, c] for c in range(d)] + [w6_sel])
         tab = np.bincount(idx, weights=w, minlength=nrows * wcols * CC)
-        return tab.reshape(nrows, wcols, CC).astype(np.float32)
+        return tab.reshape(nrows, wcols, CC).astype(np.float32), None
 
     band_col = slot * P + rj
-    Tband = fill_table(
-        bi[in_band], band_col[in_band], ri[in_band],
-        mdv[in_band], w6v[in_band], nb, 3 * P,
-    )
+    bsel = np.flatnonzero(in_band)
+    Tband, gs_band = fill_table(bsel, band_col[bsel], bi[bsel], nb, 3 * P)
 
+    _tick("band table")
     # ---- far structure ---------------------------------------------------
     far = ~in_band
     Rg = R // g + 1  # (block, group) key multiplier
@@ -696,7 +725,7 @@ def build_band_engine(
         grp_count = np.zeros(nb, np.int64)
 
     cuts = _bucket_cuts(grp_count, far_buckets)
-    far_blocks, far_groups_l, far_tabs = [], [], []
+    far_blocks, far_groups_l, far_tabs, far_gs = [], [], [], []
     order_rows = []  # bucket-concat row order (block ids)
     lo = 0
     for wmax in cuts:
@@ -722,16 +751,17 @@ def build_band_engine(
         far_groups_l.append(grp_list.astype(np.int32))
         # pair columns: (position of the pair's group in grp_list) * g + rj%g
         keys_bg = bsel * Rg + gsel  # sorted ascending (subset of ubg)
-        sel_pairs = far & (grp_count[bi] > lo0) & (grp_count[bi] <= wmax)
-        ppos = np.searchsorted(
-            keys_bg, bi[sel_pairs] * Rg + pj[sel_pairs] // g
+        psel = np.flatnonzero(
+            far & (grp_count[bi] > lo0) & (grp_count[bi] <= wmax)
         )
-        col = posn[ppos] * g + pj[sel_pairs] % g
-        far_tabs.append(fill_table(
-            row_of[bi[sel_pairs]], col, ri[sel_pairs],
-            mdv[sel_pairs], w6v[sel_pairs], len(blks), wmax * g,
-        ))
+        ppos = np.searchsorted(keys_bg, bi[psel] * Rg + pj[psel] // g)
+        col = posn[ppos] * g + pj[psel] % g
+        tab, gst = fill_table(psel, col, row_of[bi[psel]], len(blks),
+                              wmax * g)
+        far_tabs.append(tab)
+        far_gs.append(gst)
 
+    _tick("far tables")
     order_rows.append(np.where(grp_count == 0)[0])
     all_rows = np.concatenate(order_rows)
     far_perm = np.empty(nb, np.int64)
@@ -743,8 +773,15 @@ def build_band_engine(
     # device round-trip; the native cast (sphgrid_cast_bf16_gsum, RTE —
     # same rounding as ml_dtypes) also produces the quantized row sums
     # in the same pass (the ml_dtypes casts profiled 15.6 s at 100k)
+    _tick("quantize start")
     gs = None
-    if table_dtype == "bfloat16":
+    if fused:
+        # tables were quantized during the fill; assemble gsum
+        Tband_n, far_n = Tband, far_tabs
+        gs = gs_band
+        for blks, gst in zip(far_blocks, far_gs):
+            gs[blks] += gst
+    elif table_dtype == "bfloat16":
         nat = _native.cast_bf16_gsum(Tband)
         if nat is not None:
             Tband_n, gs = nat
@@ -773,6 +810,7 @@ def build_band_engine(
     Tband_q = jnp.asarray(Tband_n)
     far_q = [jnp.asarray(t) for t in far_n]
 
+    _tick("quantize done")
     xs = np.full((R, d), PAD_POS, np.float32)
     xs[:n] = xr.astype(np.float32)
     vs = np.zeros((R,), np.float32)
@@ -790,6 +828,7 @@ def build_band_engine(
         ).reshape(grp_list.shape[0], -1)
         far_vwmask.append((vs[rows_idx] > 0.0).astype(np_tdt))
 
+    _tick("device arrays")
     return BandEngine(
         slot_of_particle=jnp.asarray(rank_of_particle, jnp.int32),
         xs=jnp.asarray(xs.reshape(nb, P, d)),
