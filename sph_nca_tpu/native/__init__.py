@@ -63,8 +63,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.POINTER(ctypes.c_double),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
         ]
         lib.sphgrid_accum_table.restype = None
         lib.sphgrid_accum_table.argtypes = [
@@ -79,8 +79,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sphgrid_fill_cast_bf16.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
@@ -160,8 +160,10 @@ def true_pairs(
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     """All true SPH pairs |r| < h of rank-ordered positions (incl. self;
     periodic pairs once per contributing image) — the native form of
-    ops/bands._true_pairs. Returns (pi, pj, dx [E, D] f64, d2 [E] f64)
-    or None if the native library is unavailable / grid degenerate."""
+    ops/bands._true_pairs. Returns (pi, pj, dx [E, D] f32, d2 [E] f32 —
+    build-side bytes matter on this churn-sensitive host; ~1e-7
+    relative quantization, far below the bf16 tables') or None if the
+    native library is unavailable / grid degenerate."""
     lib = _load()
     if lib is None:
         return None
@@ -174,23 +176,25 @@ def true_pairs(
         )
         p_ptr = p_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
     xp = x.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
-    null_i = ctypes.POINTER(ctypes.c_int32)()
-    null_d = ctypes.POINTER(ctypes.c_double)()
-    e = lib.sphgrid_true_pairs(xp, n, d, ctypes.c_double(h), p_ptr, 0,
-                               null_i, null_i, null_d, null_d)
-    if e < 0:
-        return None
-    pi = np.empty(e, np.int32)
-    pj = np.empty(e, np.int32)
-    dx = np.empty((e, d), np.float64)
-    d2 = np.empty(e, np.float64)
-    e2 = lib.sphgrid_true_pairs(
-        xp, n, d, ctypes.c_double(h), p_ptr, e, _iptr(pi), _iptr(pj),
-        dx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        d2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-    )
-    assert e2 == e
-    return pi, pj, dx, d2
+    # one enumeration in the common case: allocate for ~33 neighbors per
+    # point (our geometries sit near ~30 at kernel-support packing) and
+    # only re-run if the exact count overflows the guess — the scan
+    # itself dominates, so avoiding the count-only pass halves the cost
+    cap = 33 * n + 1024
+    while True:
+        pi = np.empty(cap, np.int32)
+        pj = np.empty(cap, np.int32)
+        dx = np.empty((cap, d), np.float32)
+        d2 = np.empty(cap, np.float32)
+        e = lib.sphgrid_true_pairs(
+            xp, n, d, ctypes.c_double(h), p_ptr, cap, _iptr(pi), _iptr(pj),
+            _fptr(dx), _fptr(d2),
+        )
+        if e < 0:
+            return None
+        if e <= cap:
+            return pi[:e], pj[:e], dx[:e], d2[:e]
+        cap = e
 
 
 def accum_table(
@@ -224,7 +228,9 @@ def fill_cast_bf16(
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Fused table fill + bf16 quantize + quantized row sums from RAW
     pair data (pair weights computed in C++, never materialized in
-    Python). ``pairs`` = (pi, pj, dx, d2) from true_pairs; ``psel``
+    Python). ``pairs`` = (pi, pj, dx, d2) from true_pairs (dx/d2 in
+    f32 — quantization ~1e-7 relative, far below the bf16 tables');
+    ``psel``
     indexes into them (None = all, aligned with rows/cols/ri); rows
     must be non-decreasing. Returns (bf16 table [nrows, wcols,
     (d+1)*p], gs [nrows, (d+1)*p] f32) or None if unavailable."""
@@ -240,8 +246,8 @@ def fill_cast_bf16(
     cols = np.ascontiguousarray(cols, np.int32)
     ri = np.ascontiguousarray(ri, np.int32)
     pj = np.ascontiguousarray(pj, np.int32)
-    dx = np.ascontiguousarray(dx, np.float64)
-    d2 = np.ascontiguousarray(d2, np.float64)
+    dx = np.ascontiguousarray(dx, np.float32)
+    d2 = np.ascontiguousarray(d2, np.float32)
     v = np.ascontiguousarray(v, np.float64)
     psel_ptr = ctypes.POINTER(ctypes.c_int64)()
     if psel is not None:
@@ -253,8 +259,7 @@ def fill_cast_bf16(
     gs = np.zeros((nrows, cc), np.float32)
     lib.sphgrid_fill_cast_bf16(
         _iptr(rows), _iptr(cols), _iptr(ri), psel_ptr, e,
-        dx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        d2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), _iptr(pj),
+        _fptr(dx), _fptr(d2), _iptr(pj),
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_double(h), d, p, wcols, nrows,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), _fptr(gs),

@@ -17,8 +17,17 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
+
+static double now_s() {
+  struct timespec t;
+  clock_gettime(CLOCK_MONOTONIC, &t);
+  return t.tv_sec + 1e-9 * t.tv_nsec;
+}
 
 extern "C" {
 
@@ -158,7 +167,7 @@ void sphgrid_fps(const float* x, int64_t n, int d, int64_t m, int64_t start,
 // degenerate (caller falls back to numpy).
 int64_t sphgrid_true_pairs(const double* x, int64_t n, int d, double h,
                            const double* period, int64_t cap, int32_t* pi,
-                           int32_t* pj, double* dx_out, double* d2_out) {
+                           int32_t* pj, float* dx_out, float* d2_out) {
   if (d < 1 || d > 3 || n <= 0) return -1;
   double cell[3], per[3];
   int64_t ncell[3];
@@ -197,9 +206,12 @@ int64_t sphgrid_true_pairs(const double* x, int64_t n, int d, double h,
     if (num_cells > (int64_t)1 << 33) return -1;  // degenerate/sparse
   }
 
-  // cell coordinate per point (+ counting sort)
+  if (num_cells > ((int64_t)1 << 31) - 2) return -1;  // int32 grid keys
+  // cell coordinate per point (+ counting sort); int32 keys/counters —
+  // this host slows to ~45 MB/s on fresh pages after GBs of allocation
+  // churn (measured), so every build-side byte counts double
   std::vector<int32_t> cc(n * d);
-  std::vector<int64_t> chash(n);
+  std::vector<int32_t> chash(n);
   for (int64_t p = 0; p < n; ++p) {
     int64_t hsh = 0;
     for (int i = 0; i < d; ++i) {
@@ -214,14 +226,14 @@ int64_t sphgrid_true_pairs(const double* x, int64_t n, int d, double h,
       cc[p * d + i] = (int32_t)c;
       hsh += c * stride[i];
     }
-    chash[p] = hsh;
+    chash[p] = (int32_t)hsh;
   }
-  std::vector<int64_t> cstart(num_cells + 1, 0);
+  std::vector<int32_t> cstart(num_cells + 1, 0);
   for (int64_t p = 0; p < n; ++p) cstart[chash[p] + 1]++;
   for (int64_t c = 0; c < num_cells; ++c) cstart[c + 1] += cstart[c];
   std::vector<int32_t> by_cell(n);
   {
-    std::vector<int64_t> cur(cstart.begin(), cstart.end() - 1);
+    std::vector<int32_t> cur(cstart.begin(), cstart.end() - 1);
     for (int64_t p = 0; p < n; ++p) by_cell[cur[chash[p]]++] = (int32_t)p;
   }
 
@@ -267,8 +279,8 @@ int64_t sphgrid_true_pairs(const double* x, int64_t n, int d, double h,
           if (e < cap) {
             pi[e] = (int32_t)p;
             pj[e] = (int32_t)j;
-            for (int i = 0; i < d; ++i) dx_out[e * d + i] = dxv[i];
-            d2_out[e] = dd;
+            for (int i = 0; i < d; ++i) dx_out[e * d + i] = (float)dxv[i];
+            d2_out[e] = (float)dd;
           }
           ++e;
         }
@@ -309,25 +321,33 @@ void sphgrid_accum_table(const int32_t* rows, const int32_t* cols,
 // as uint16 bit patterns [nrows, wcols, (d+1)*P]; gs [nrows, (d+1)*P]
 // (zeroed by caller) receives the sums of the QUANTIZED entries over
 // the window-column axis.
-void sphgrid_fill_cast_bf16(const int32_t* rows, const int32_t* cols,
-                            const int32_t* ri, const int64_t* psel,
-                            int64_t e, const double* dx, const double* d2,
-                            const int32_t* pj, const double* v, double h,
-                            int d, int64_t P, int64_t wcols, int64_t nrows,
-                            uint16_t* out, float* gs) {
+void sphgrid_fill_cast_bf16(const int32_t* __restrict rows,
+                            const int32_t* __restrict cols,
+                            const int32_t* __restrict ri,
+                            const int64_t* __restrict psel, int64_t e,
+                            const float* __restrict dx,
+                            const float* __restrict d2,
+                            const int32_t* __restrict pj,
+                            const double* __restrict v, double h, int d,
+                            int64_t P, int64_t wcols, int64_t nrows,
+                            uint16_t* __restrict out, float* __restrict gs) {
   const int64_t cc = (d + 1) * P;
   const int64_t row_elems = wcols * cc;
   const double h2 = h * h;
   int64_t chunk = ((int64_t)256 << 20) / (4 * row_elems);
   if (chunk < 1) chunk = 1;
+  const bool prof = std::getenv("SPH_NCA_BUILD_PROFILE") != nullptr;
+  double t_fill = 0, t_cast = 0, t_gsum = 0, t_zero = 0;
   std::vector<float> scratch;
   int64_t k = 0;
   for (int64_t r0 = 0; r0 < nrows; r0 += chunk) {
     const int64_t r1 = std::min(r0 + chunk, nrows);
+    double tb = prof ? now_s() : 0;
     scratch.assign((r1 - r0) * row_elems, 0.f);
+    if (prof) { t_zero += now_s() - tb; tb = now_s(); }
     for (; k < e && rows[k] < r1; ++k) {
       const int64_t pk = psel ? psel[k] : k;
-      const double dd = d2[pk];
+      const double dd = (double)d2[pk];
       const double vj = v[pj[pk]];
       const double w6 = (h2 - dd) * (h2 - dd) * (h2 - dd);
       double mag = 0.0;
@@ -341,26 +361,37 @@ void sphgrid_fill_cast_bf16(const int32_t* rows, const int32_t* cols,
         base[c * P] += (float)(mag * dx[pk * d + c] * vj);
       base[d * P] += (float)(w6 * vj);
     }
+    if (prof) { t_fill += now_s() - tb; tb = now_s(); }
     // quantize the chunk (RTE) + accumulate quantized row sums
-    const uint32_t* su = (const uint32_t*)scratch.data();
-    uint16_t* du = out + r0 * row_elems;
+    const uint32_t* __restrict su = (const uint32_t*)scratch.data();
+    uint16_t* __restrict du = out + r0 * row_elems;
     const int64_t total = (r1 - r0) * row_elems;
     for (int64_t t = 0; t < total; ++t) {
       const uint32_t u = su[t];
       du[t] = (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
     }
+    if (prof) { t_cast += now_s() - tb; tb = now_s(); }
     for (int64_t r = r0; r < r1; ++r) {
-      const uint16_t* dr = out + r * row_elems;
-      float* gr = gs + r * cc;
-      for (int64_t w = 0; w < wcols; ++w)
+      const uint16_t* __restrict dr = out + r * row_elems;
+      float* __restrict gr = gs + r * cc;
+      for (int64_t w = 0; w < wcols; ++w) {
+        const uint16_t* __restrict dw = dr + w * cc;
         for (int64_t c = 0; c < cc; ++c) {
-          const uint32_t back = (uint32_t)dr[w * cc + c] << 16;
+          const uint32_t back = (uint32_t)dw[c] << 16;
           float f;
           std::memcpy(&f, &back, 4);
           gr[c] += f;
         }
+      }
     }
+    if (prof) t_gsum += now_s() - tb;
   }
+  if (prof)
+    std::fprintf(stderr,
+                 "[sphgrid fill_cast] zero %.2fs fill %.2fs cast %.2fs "
+                 "gsum %.2fs (e=%lld, rows=%lld)\n",
+                 t_zero, t_fill, t_cast, t_gsum, (long long)e,
+                 (long long)nrows);
 }
 
 // f32 -> bf16 cast (round-to-nearest-even, matching ml_dtypes/TPU),

@@ -92,8 +92,9 @@ def test_true_pairs_matches_numpy(rng, periodic):
     assert len(a[0]) == len(b[0])
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
-    np.testing.assert_allclose(a[2], b[2], atol=1e-12)
-    np.testing.assert_allclose(a[3], b[3], atol=1e-12)
+    # native emits f32 geometry (the numpy fallback keeps f64)
+    np.testing.assert_allclose(a[2], b[2], atol=1e-6)
+    np.testing.assert_allclose(a[3], b[3], atol=1e-7)
 
 
 def test_accum_table_matches_bincount(rng):
