@@ -316,9 +316,52 @@ def nca_step_cells_batched(
             # (models/surface.project_tangent_space_lanes)
             gaB = perception_transform(gaB)
 
+    nS = _update_core(
+        params, cfg, SB.reshape(rows, b * f), gaB, b, f, key, h,
+        fire_rate, mlp_dtype,
+    )
+    nSB = nS.reshape(C, M, b * f)
+
+    from ..ops.batched import expand_lanes
+
+    new_sm = mask_blur_batched(
+        eng, jax.lax.stop_gradient(nSB), b, cfg.use_alpha
+    )
+    new_mask = new_sm > ALIVE_THRESHOLD
+    living = expand_lanes(
+        (prev_mask & new_mask).reshape(rows, b).astype(nS.dtype), f
+    )
+    out = (nS * living).reshape(C, M, b * f)
+    if blur_extra is not None:
+        return out, transform_aux
+    return out
+
+
+def _update_core(
+    params: MLPParams,
+    cfg: SPHNCAConfig,
+    SB2: Array,  # [rows, B*F] flat state
+    gaB: Array,  # [..., D*B*F] d-major perception lanes
+    b: int,
+    f: int,
+    key: Array,
+    h,
+    fire_rate: float,
+    mlp_dtype: Optional[str],
+) -> Array:
+    """Engine-independent core of the batched NCA step: block-diagonal
+    update MLP + gated/orig update + Bernoulli fire mask (reference
+    nca.py:95-110). Returns the PRE-life-mask new state [rows, B*F];
+    the caller applies the alive mask (engine-specific blur). Shared by
+    the single-host step above and the halo-sharded step
+    (parallel/band_shard.py)."""
+    from ..ops.batched import expand_lanes
+
+    c = cfg.channels
+    rows = SB2.shape[0]
     scale = h * cfg.normalize_perception if cfg.normalize_perception > 0 \
         else jnp.float32(1.0)
-    ydt = jnp.dtype(mlp_dtype) if mlp_dtype else SB.dtype
+    ydt = jnp.dtype(mlp_dtype) if mlp_dtype else SB2.dtype
     bf = b * f
 
     w1x, b1x, w2x, b2x = _blockdiag_mlp_weights(
@@ -339,9 +382,11 @@ def nca_step_cells_batched(
     prec = (
         jax.lax.Precision.DEFAULT if mlp_dtype else jax.lax.Precision.HIGH
     )
-    ga2 = gaB[..., : 2 * bf].reshape(rows, 2 * bf).astype(ydt)
+    # first 2*B*F perception lanes = gA_x, gA_y (reference nca.py:23-31
+    # uses only x, y gradient components even in 3D); gaB carries D*B*F
+    ga2 = gaB.reshape(rows, -1)[:, : 2 * bf].astype(ydt)
     hmid = jnp.maximum(
-        jnp.matmul(SB.reshape(rows, bf).astype(ydt), w1a, precision=prec)
+        jnp.matmul(SB2.astype(ydt), w1a, precision=prec)
         + jnp.matmul(ga2, w1g, precision=prec)
         + b1x,
         0.0,
@@ -350,12 +395,9 @@ def nca_step_cells_batched(
         jnp.matmul(hmid, w2x, precision=prec) + b2x
     ).astype(jnp.float32)  # columns are lane-aligned groups (see above)
 
-    SB2 = SB.reshape(rows, bf)
     # per-sample [rows, B] masks expand to [rows, B*F] lanes via one-hot
     # MXU matmuls (ops/batched.expand_lanes) — jnp.repeat lowers to
     # broadcast relayouts that profiled ~0.3 ms each at this size
-    from ..ops.batched import expand_lanes
-
     if cfg.update_rule == "gated":
         gate = jax.nn.sigmoid(dA[:, :bf])
         delta = jnp.tanh(dA[:, bf : 2 * bf])
@@ -372,20 +414,7 @@ def nca_step_cells_batched(
     fire = expand_lanes(
         (u <= fire_rate).astype(nS.dtype), f
     )  # [rows, B*F] in {0, 1}
-    nS = SB2 + fire * (nS - SB2)
-    nSB = nS.reshape(C, M, bf)
-
-    new_sm = mask_blur_batched(
-        eng, jax.lax.stop_gradient(nSB), b, cfg.use_alpha
-    )
-    new_mask = new_sm > ALIVE_THRESHOLD
-    living = expand_lanes(
-        (prev_mask & new_mask).reshape(rows, b).astype(nS.dtype), f
-    )
-    out = (nS * living).reshape(C, M, bf)
-    if blur_extra is not None:
-        return out, transform_aux
-    return out
+    return SB2 + fire * (nS - SB2)
 
 
 def rollout_cells_batched(

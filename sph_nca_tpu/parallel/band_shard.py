@@ -1,0 +1,518 @@
+"""Halo-exchange sharding of the band engine (the flagship throughput
+path) — particle-axis parallelism with comm proportional to BOUNDARY
+size, not state size.
+
+The band engine's blocks are Morton-contiguous (ops/bands.py), so
+sharding the block axis over the "particle" mesh axis gives each device
+a contiguous curve segment. The two pair structures then need exactly
+two kinds of exchange, both static per geometry:
+
+  * BAND windows read blocks [b-1, b, b+1]: only the shard-edge blocks
+    cross the boundary — ONE `ppermute` of the first/last block's rows
+    per direction (2*P*L values per shard per pass). This is the
+    textbook boundary halo the Morton layout was built for
+    (SCALING.md), the structural cousin of ring attention's
+    neighbor-exchange.
+  * FAR groups can reference any shard (curve jumps). Each shard owns a
+    static EXPORT list — the union of groups any other shard's far
+    lists reference — and one `all_gather` of the export-compacted rows
+    ([k, E, g*L]) satisfies every remote read via a static index map.
+    E is the boundary population (measured ~3-8% of a shard's rows on
+    the 100k sphere), so comm is ~E/(S*P/g) of the all-gather-the-state
+    exchange parallel/cell_shard.py uses.
+
+Everything inside the shard_map body is plain XLA (dots + gathers +
+collectives), so jax autodiff differentiates the whole sharded rollout
+— the collectives' transposes (ppermute^T = reverse permute,
+all_gather^T = psum_scatter) give the sharded BPTT for free. The
+reference has no multi-device capability at all (SURVEY.md §2e).
+
+Comm accounting helpers quantify bytes/step for the SCALING.md model;
+tests pin sharded == unsharded on a virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.bands import (
+    ALIVE_THRESHOLD,
+    BandEngine,
+    _pair_dot,
+    _take_lanes,
+)
+from .mesh import PARTICLE_AXIS
+
+Array = jnp.ndarray
+
+
+class BandShards(NamedTuple):
+    """Per-shard band structure: every field is [k, ...] and sharded on
+    axis 0 over the particle mesh axis (one shard's slice per device).
+    S = blocks per shard, E = export groups, H = halo groups (max over
+    shards, zero-padded)."""
+
+    Tband: Array  # [k, S, 3P, CC]
+    gsum: Array  # [k, S, P, D] f32
+    vs: Array  # [k, S, P]
+    export_idx: Array  # [k, E] int32 local group ids this shard exports
+    halo_src: Array  # [k, H] int32 into the [k*E] gathered buffer
+    far_groups: Tuple[Array, ...]  # [k, nbt, Wt] int32, local+halo space
+    far_tabs: Tuple[Array, ...]  # [k, nbt, Wt*g, CC]
+    far_vwmask: Tuple[Array, ...]  # [k, nbt, Wt*g]
+    far_perm: Array  # [k, S] int32 into concat(bucket outs + 1 zero row)
+
+    @property
+    def k(self) -> int:
+        return self.Tband.shape[0]
+
+    @property
+    def blocks_per_shard(self) -> int:
+        return self.Tband.shape[1]
+
+    @property
+    def rows_per_block(self) -> int:
+        return self.Tband.shape[2] // 3
+
+
+class BandShardStatic(NamedTuple):
+    """Python-level constants for the sharded ops (closure args, not
+    traced)."""
+
+    k: int
+    g: int  # far group size
+    d: int
+    P: int
+    sig_w: float
+    sig_g: float
+
+
+def shard_band_engine(eng: BandEngine, k: int) -> Tuple[BandShards,
+                                                        BandShardStatic]:
+    """Partition a band engine (built with ``block_multiple=k`` so
+    nb % k == 0) into k contiguous block shards + the static halo
+    exchange structure (host-side numpy)."""
+    nb, Pr = eng.num_cells, eng.slots_per_cell
+    if nb % k:
+        raise ValueError(
+            f"nb={nb} not divisible by k={k}; build the engine with "
+            f"block_multiple={k}"
+        )
+    S = nb // k
+    g = eng.far_group_size
+    if Pr % g:
+        raise ValueError(f"far_group {g} must divide block rows {Pr}")
+    gpb = Pr // g
+    gps = S * gpb  # groups per shard
+    d = eng.dim
+    cc = (d + 1) * Pr
+
+    far_blocks = [np.asarray(b) for b in eng.far_blocks]
+    far_groups = [np.asarray(x) for x in eng.far_groups]
+    far_tabs = [np.asarray(t) for t in eng.far_tabs]
+    far_vwmask = [np.asarray(m) for m in eng.far_vwmask]
+
+    # ---- halo/export structure (far refs crossing shard boundaries) ---
+    needed = [set() for _ in range(k)]
+    for blks, grps in zip(far_blocks, far_groups):
+        if not len(blks):
+            continue
+        sh = blks // S
+        owner = grps // gps
+        for s in range(k):
+            sel = sh == s
+            if sel.any():
+                gset = np.unique(grps[sel])
+                for gid in gset[gset // gps != s]:
+                    needed[s].add(int(gid))
+    needed = [
+        np.sort(np.fromiter(ns, np.int64)) if ns else
+        np.zeros(0, np.int64)
+        for ns in needed
+    ]
+
+    exports = []
+    for s in range(k):
+        exp = set()
+        for t in range(k):
+            if t == s:
+                continue
+            nt = needed[t]
+            exp.update(nt[nt // gps == s].tolist())
+        exports.append(np.sort(np.fromiter(exp, np.int64)) if exp
+                       else np.zeros(0, np.int64))
+    E = max(1, max(len(e) for e in exports))
+    H = max(1, max(len(n) for n in needed))
+
+    export_idx = np.zeros((k, E), np.int32)
+    halo_src = np.zeros((k, H), np.int32)
+    for s in range(k):
+        loc = exports[s] - s * gps
+        export_idx[s, : len(loc)] = loc
+        for j, gid in enumerate(needed[s]):
+            t = int(gid) // gps
+            pos = int(np.searchsorted(exports[t], gid))
+            halo_src[s, j] = t * E + pos
+
+    remap = []
+    for s in range(k):
+        m = {int(gid): gps + j for j, gid in enumerate(needed[s])}
+        remap.append(m)
+
+    def remap_groups(s, grps):
+        out = np.empty_like(grps, dtype=np.int32)
+        flat = grps.ravel()
+        of = out.ravel()
+        for i, gid in enumerate(flat):
+            gid = int(gid)
+            if gid // gps == s:
+                of[i] = gid - s * gps
+            else:
+                of[i] = remap[s][gid]
+        return out
+
+    # ---- per-shard far buckets (block counts padded to the max) -------
+    fg_l, ft_l, fm_l = [], [], []
+    # per-shard assembly order for far_perm: bucket rows then zero row
+    perm = np.zeros((k, S), np.int32)
+    row_cursor = np.zeros(k, np.int64)
+    shard_rows = []  # per bucket: [k] real row counts
+    for blks, grps, tabs, masks in zip(far_blocks, far_groups, far_tabs,
+                                       far_vwmask):
+        sh = blks // S if len(blks) else np.zeros(0, np.int64)
+        counts = [int((sh == s).sum()) for s in range(k)]
+        nbt = max(1, max(counts))
+        Wt = grps.shape[1]
+        gk = np.zeros((k, nbt, Wt), np.int32)
+        tk = np.zeros((k, nbt) + tabs.shape[1:], tabs.dtype)
+        mk = np.zeros((k, nbt) + masks.shape[1:], masks.dtype)
+        for s in range(k):
+            sel = np.where(sh == s)[0]
+            if len(sel):
+                gk[s, : len(sel)] = remap_groups(s, grps[sel])
+                tk[s, : len(sel)] = tabs[sel]
+                mk[s, : len(sel)] = masks[sel]
+                perm[s, blks[sel] - s * S] = (
+                    row_cursor[s] + np.arange(len(sel))
+                )
+            # pad rows have zero tables: never selected by perm
+        fg_l.append(gk)
+        ft_l.append(tk)
+        fm_l.append(mk)
+        row_cursor += nbt
+        shard_rows.append(counts)
+    total_rows = int(row_cursor[0]) if len(fg_l) else 0
+    # blocks with no far entries point at the appended zero row
+    has_far = np.zeros((k, S), bool)
+    for blks in far_blocks:
+        if len(blks):
+            sh = blks // S
+            for s in range(k):
+                sel = sh == s
+                has_far[s, blks[sel] - s * S] = True
+    perm[~has_far] = total_rows  # the zero row
+
+    shards = BandShards(
+        Tband=jnp.asarray(np.asarray(eng.Tband).reshape(k, S, 3 * Pr, cc)),
+        gsum=jnp.asarray(np.asarray(eng.gsum).reshape(k, S, Pr, d)),
+        vs=jnp.asarray(np.asarray(eng.vs).reshape(k, S, Pr)),
+        export_idx=jnp.asarray(export_idx),
+        halo_src=jnp.asarray(halo_src),
+        far_groups=tuple(jnp.asarray(x) for x in fg_l),
+        far_tabs=tuple(jnp.asarray(x) for x in ft_l),
+        far_vwmask=tuple(jnp.asarray(x) for x in fm_l),
+        far_perm=jnp.asarray(perm),
+    )
+    static = BandShardStatic(
+        k=k, g=g, d=d, P=Pr,
+        sig_w=float(eng.sig_w), sig_g=float(eng.sig_g),
+    )
+    return shards, static
+
+
+def place_shards(shards: BandShards, mesh: Mesh) -> BandShards:
+    """Device_put every field with its axis-0 sharded over the particle
+    mesh axis (replicated over any data axis)."""
+    spec = NamedSharding(mesh, P(PARTICLE_AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, spec), shards)
+
+
+def comm_bytes_per_pass(shards: BandShards, static: BandShardStatic,
+                        lanes: int, itemsize: int = 2) -> dict:
+    """Static comm-volume accounting for ONE pair pass at ``lanes``
+    window lanes: ppermute moves 2 boundary blocks per shard; the far
+    all_gather moves k*E export groups to every shard. Returns bytes
+    per device per pass (the SCALING.md model inputs)."""
+    k, g, Pr = static.k, static.g, static.P
+    E = int(shards.export_idx.shape[1])
+    S = shards.blocks_per_shard
+    return {
+        "ppermute_bytes": 2 * Pr * lanes * itemsize,
+        "allgather_bytes": k * E * g * lanes * itemsize,
+        "export_fraction": E / (S * Pr / g),
+        "full_state_bytes": k * S * Pr * lanes * itemsize,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Sharded ops (inside shard_map; every array is this shard's slice)
+# ---------------------------------------------------------------------------
+
+
+def _band_window_halo(X: Array, k: int) -> Array:
+    """[S, P, L] -> [S, 3P, L] band windows with the shard-edge blocks
+    exchanged by ppermute (the wrap across shard 0/k-1 matches the
+    global jnp.roll semantics — table zeros make it inert unless the
+    domain is genuinely periodic)."""
+    fwd = [(i, (i + 1) % k) for i in range(k)]
+    bwd = [(i, (i - 1) % k) for i in range(k)]
+    prev = jax.lax.ppermute(X[-1], PARTICLE_AXIS, fwd)
+    nxt = jax.lax.ppermute(X[0], PARTICLE_AXIS, bwd)
+    Xext = jnp.concatenate([prev[None], X, nxt[None]], axis=0)
+    return jnp.concatenate(
+        [Xext[:-2], Xext[1:-1], Xext[2:]], axis=1
+    )
+
+
+def _halo_rows(Xflat_g: Array, export_idx: Array, halo_src: Array) -> Array:
+    """Export-compacted far exchange: gather this shard's export rows,
+    all_gather them, index out this shard's halo rows.
+    Xflat_g [gps, g*L] -> [H, g*L]."""
+    exp = Xflat_g[export_idx]  # [E, gL]
+    allb = jax.lax.all_gather(exp, PARTICLE_AXIS, axis=0)  # [k, E, gL]
+    return allb.reshape(-1, Xflat_g.shape[-1])[halo_src]
+
+
+def _far_window_l(src_g: Array, grp: Array, g: int, L: int) -> Array:
+    """src_g [(gps+H), g*L] local+halo group rows -> [nbt, Wt*g, L]."""
+    nbt, wt = grp.shape
+    return src_g[grp].reshape(nbt, wt * g, L)
+
+
+def _combine_far_l(outs, perm: Array, out_rows: int, L: int,
+                   dtype=jnp.float32) -> Array:
+    """Concat bucket outputs + one zero row, permute to block order."""
+    parts = list(outs) + [jnp.zeros((1, out_rows, L), dtype)]
+    return jnp.concatenate(parts, axis=0)[perm]
+
+
+def _alive_cols_l(vs: Array, XB: Array, b: int, use_alpha: bool,
+                  tdt) -> Array:
+    """Per-(row, sample) alive indicator [S, P, B] (ops/bands._alive_cols
+    on this shard's rows)."""
+    S, Pr = XB.shape[0], XB.shape[1]
+    rows = S * Pr
+    if not use_alpha:
+        return jnp.broadcast_to(
+            (vs > 0.0)[..., None], (S, Pr, b)
+        ).astype(tdt)
+    f = XB.shape[-1] // b
+    alpha = _take_lanes(XB.reshape(rows, b * f), jnp.arange(b) * f + 3, b)
+    alive = (alpha > ALIVE_THRESHOLD) & (vs.reshape(rows, 1) > 0.0)
+    return alive.astype(tdt).reshape(S, Pr, b)
+
+
+def perceive_band_sharded(
+    loc: BandShards,  # this shard's slices (leading k axis squeezed)
+    st: BandShardStatic,
+    XB: Array,  # [S, P, B*F]
+    b: int,
+    use_alpha: bool = True,
+    out_dtype=None,
+    extra: Optional[Array] = None,  # [S, P, Ke]
+):
+    """Sharded twin of ops.bands.perceive_band_batched: same math, same
+    outputs for this shard's rows; band halo via ppermute, far halo via
+    the export all_gather (shared by the md dot, the alive derivation,
+    and the fused extra lanes)."""
+    d, Pr, g, k = st.d, st.P, st.g, st.k
+    S = XB.shape[0]
+    tdt = loc.Tband.dtype
+    odt = jnp.dtype(out_dtype) if out_dtype else jnp.float32
+    Xc = XB.astype(tdt)
+    L = XB.shape[-1]
+    f = L // b
+    ke = 0 if extra is None else extra.shape[-1]
+    alpha_idx = jnp.arange(b) * f + 3
+
+    acol = _alive_cols_l(loc.vs, Xc, b, use_alpha, tdt)
+    if extra is not None:
+        acol = jnp.concatenate([acol, extra.astype(tdt)], axis=-1)
+
+    Wb = _band_window_halo(Xc, k)
+    mom = _pair_dot(loc.Tband[:, :, : d * Pr], Wb, odt)
+    sm = _pair_dot(loc.Tband[:, :, d * Pr :], _band_window_halo(acol, k))
+
+    if loc.far_tabs:
+        Xg = Xc.reshape(-1, g * L)  # [gps, gL] group-packed
+        halo = _halo_rows(Xg, loc.export_idx, loc.halo_src)
+        src = jnp.concatenate([Xg, halo], axis=0)
+        esrc = None
+        if extra is not None:
+            Eg = extra.astype(tdt).reshape(-1, g * ke)
+            ehalo = _halo_rows(Eg, loc.export_idx, loc.halo_src)
+            esrc = jnp.concatenate([Eg, ehalo], axis=0)
+
+        def alive_of(Xw, vm):
+            if use_alpha:
+                nw, W = Xw.shape[0], Xw.shape[1]
+                al = _take_lanes(Xw.reshape(nw * W, L), alpha_idx, b)
+                al = al.reshape(nw, W, b) > ALIVE_THRESHOLD
+                return al.astype(tdt) * vm
+            return jnp.broadcast_to(vm, Xw.shape[:-1] + (b,)).astype(tdt)
+
+        mouts, souts = [], []
+        for t, tab in enumerate(loc.far_tabs):
+            grp = loc.far_groups[t]
+            Xw = _far_window_l(src, grp, g, L)
+            mouts.append(_pair_dot(tab[:, :, : d * Pr], Xw, odt))
+            vm = loc.far_vwmask[t][..., None]
+            aw = alive_of(Xw, vm)
+            if extra is not None:
+                aw = jnp.concatenate(
+                    [aw, _far_window_l(esrc, grp, g, ke)], axis=-1
+                )
+            souts.append(_pair_dot(tab[:, :, d * Pr :], aw))
+        mom = mom + _combine_far_l(mouts, loc.far_perm, d * Pr, L, odt)
+        sm = sm + _combine_far_l(souts, loc.far_perm, Pr, b + ke)
+
+    Xo = XB.astype(odt) if out_dtype else XB
+    gsl = loc.gsum.astype(odt)
+    gaB = jnp.concatenate(
+        [
+            (jnp.asarray(st.sig_g, odt) * mom[:, i * Pr : (i + 1) * Pr])
+            - Xo * gsl[..., i : i + 1]
+            for i in range(d)
+        ],
+        axis=-1,
+    )
+    sm = jnp.asarray(st.sig_w, sm.dtype) * sm
+    if extra is None:
+        return gaB, sm
+    return gaB, sm[..., :b], sm[..., b:]
+
+
+def mask_blur_band_sharded(
+    loc: BandShards,
+    st: BandShardStatic,
+    XB: Array,  # [S, P, B*F]
+    b: int,
+    use_alpha: bool = True,
+) -> Array:
+    """Sharded life-mask blur (ops.bands.mask_blur_band twin)."""
+    d, Pr, g, k = st.d, st.P, st.g, st.k
+    tdt = loc.Tband.dtype
+    acol = _alive_cols_l(loc.vs, XB.astype(tdt), b, use_alpha, tdt)
+    out = _pair_dot(loc.Tband[:, :, d * Pr :], _band_window_halo(acol, k))
+    if loc.far_tabs:
+        Ag = acol.reshape(-1, g * b)
+        halo = _halo_rows(Ag, loc.export_idx, loc.halo_src)
+        src = jnp.concatenate([Ag, halo], axis=0)
+        outs = [
+            _pair_dot(tab[:, :, d * Pr :],
+                      _far_window_l(src, loc.far_groups[t], g, b)
+                      * loc.far_vwmask[t][..., None])
+            for t, tab in enumerate(loc.far_tabs)
+        ]
+        out = out + _combine_far_l(outs, loc.far_perm, Pr, b)
+    return jnp.asarray(st.sig_w, out.dtype) * out
+
+
+def _step_sharded(params, cfg, loc: BandShards, st: BandShardStatic,
+                  XB: Array, b: int, key: Array, h, fire_rate,
+                  mlp_dtype) -> Array:
+    """One batched NCA step on this shard's rows (the sharded twin of
+    models.cell_step.nca_step_cells_batched: sharded perceive ->
+    shared update core -> sharded post mask)."""
+    from ..models.cell_step import _update_core
+    from ..ops.batched import expand_lanes
+
+    S, Pr = XB.shape[0], XB.shape[1]
+    f = XB.shape[-1] // b
+    rows = S * Pr
+    gaB, pre_sm = perceive_band_sharded(
+        loc, st, XB, b, cfg.use_alpha, out_dtype=mlp_dtype
+    )
+    prev_mask = pre_sm > ALIVE_THRESHOLD
+    nS = _update_core(
+        params, cfg, XB.reshape(rows, b * f), gaB.reshape(rows, -1),
+        b, f, key, h, fire_rate, mlp_dtype,
+    )
+    nXB = nS.reshape(S, Pr, b * f)
+    new_sm = mask_blur_band_sharded(
+        loc, st, jax.lax.stop_gradient(nXB), b, cfg.use_alpha
+    )
+    new_mask = new_sm > ALIVE_THRESHOLD
+    living = expand_lanes(
+        (prev_mask & new_mask).reshape(rows, b).astype(nS.dtype), f
+    )
+    return (nS * living).reshape(S, Pr, b * f)
+
+
+def rollout_band_sharded(
+    params,
+    cfg,
+    shards: BandShards,
+    static: BandShardStatic,
+    mesh: Mesh,
+    SB0: Array,  # [nb, P, B*F] global rank layout (batched_scatter)
+    b: int,
+    key: Array,
+    n_steps: int,
+    h,
+    *,
+    fire_rate: Optional[float] = None,
+    mlp_dtype: Optional[str] = None,
+    remat: bool = True,
+) -> Array:
+    """Halo-sharded scan rollout over the particle mesh axis. Per-step
+    comm: 2 ppermutes of one block + 2 export all_gathers (state +
+    alive), see comm_bytes_per_pass. The fire-mask RNG folds the shard
+    index into the step key (an independent stream per shard — the same
+    Bernoulli(fire_rate) law as the global path; trajectories match
+    exactly at fire_rate=1, distributionally otherwise, as with the
+    cell layout's per-slot stream, models/cell_step.py)."""
+    if fire_rate is None:
+        fire_rate = cfg.fire_rate
+    k = static.k
+    S = shards.blocks_per_shard
+    Pr = static.P
+    L = SB0.shape[-1]
+    X0 = SB0.reshape(k, S, Pr, L)
+    keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
+        jnp.arange(n_steps)
+    )
+
+    shard_specs = jax.tree.map(lambda _: P(PARTICLE_AXIS), shards)
+
+    def body_fn(loc: BandShards, X0s: Array, keys_r: Array) -> Array:
+        loc = jax.tree.map(lambda a: a[0], loc)  # squeeze shard dim
+        X = X0s[0]
+        idx = jax.lax.axis_index(PARTICLE_AXIS)
+
+        def step(Xc, kstep):
+            ks = jax.random.fold_in(kstep, idx)
+            nX = _step_sharded(
+                params, cfg, loc, static, Xc, b, ks, h, fire_rate,
+                mlp_dtype,
+            )
+            return nX, None
+
+        if remat:
+            step = jax.checkpoint(step, prevent_cse=False)
+        Xf, _ = jax.lax.scan(step, X, keys_r)
+        return Xf[None]
+
+    out = jax.shard_map(
+        body_fn,
+        mesh=mesh,
+        in_specs=(shard_specs, P(PARTICLE_AXIS), P()),
+        out_specs=P(PARTICLE_AXIS),
+        check_vma=False,
+    )(shards, X0, keys)
+    return out.reshape(k * S, Pr, L)
