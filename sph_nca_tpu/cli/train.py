@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nca_normalize_perception", type=float, default=-1)
     p.add_argument("--alpha_premultiply", type=str2bool, default=True)
     p.add_argument("--pretrained_checkpoint", type=str, default="")
+    p.add_argument("--optimizer", type=str, default="Adam",
+                   help="optax optimizer name (reference train.py:56; "
+                        "unknown names fall back to Adam)")
+    p.add_argument("--degrade_prob", type=float, default=0.0,
+                   help="pool state degradation probability "
+                        "(regeneration training, reference nca.py:445)")
+    p.add_argument("--erase_radius", type=float, default=0.0,
+                   help="radial damage radius on sampled pool states "
+                        "(reference nca.py:448-454 erase_R)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--pool_size", type=int, default=1024)
     p.add_argument("--h", type=float, default=0.08)
@@ -321,6 +330,9 @@ def main(argv=None) -> int:
         steps_increment=args.steps_increment,
         lr=args.lr,
         normalize_grads=args.nca_normalize_grad,
+        degrade_prob=args.degrade_prob,
+        erase_radius=args.erase_radius,
+        optimizer=args.optimizer,
         seed=args.seed,
     )
 

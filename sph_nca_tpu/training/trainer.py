@@ -132,20 +132,36 @@ def normalize_grads() -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+_OPTIMIZERS = {
+    "adam": optax.adam,
+    "adamw": optax.adamw,
+    "sgd": optax.sgd,
+    "rmsprop": optax.rmsprop,
+    "adagrad": optax.adagrad,
+    "lion": optax.lion,
+    "lamb": optax.lamb,
+}
+
+
 def make_optimizer(
     lr: float = 3e-3,
     *,
     end_factor: float = 0.1,
     decay_steps: int = 2000,
     grad_norm: bool = True,
+    name: str = "adam",
 ) -> optax.GradientTransformation:
+    """LinearLR(1 -> end_factor over decay_steps) + the named optax
+    optimizer (reference train.py:56,283-285: --optimizer selects any
+    torch.optim class by name, falling back to Adam; same contract here
+    over optax, case-insensitive)."""
     schedule = optax.linear_schedule(
         init_value=lr, end_value=lr * end_factor, transition_steps=decay_steps
     )
     chain = []
     if grad_norm:
         chain.append(normalize_grads())
-    chain.append(optax.adam(schedule))
+    chain.append(_OPTIMIZERS.get(name.lower(), optax.adam)(schedule))
     return optax.chain(*chain)
 
 
@@ -196,6 +212,7 @@ class TrainConfig:
     aux_weight: float = 0.1
     degrade_prob: float = 0.0
     erase_radius: float = 0.0
+    optimizer: str = "adam"  # reference train.py:56 --optimizer
     seed: int = 0
 
 
@@ -239,6 +256,7 @@ class Trainer:
             end_factor=train_cfg.lr_end_factor,
             decay_steps=train_cfg.lr_decay_steps,
             grad_norm=train_cfg.normalize_grads,
+            name=train_cfg.optimizer,
         )
         self.opt_state = self.optimizer.init(self.params)
 

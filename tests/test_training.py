@@ -314,3 +314,38 @@ def test_device_pool_matches_host_pool_semantics():
     dp.update(jnp.asarray([0]), jnp.zeros((1, n, c)))
     dp.load_state(snap)
     np.testing.assert_allclose(np.asarray(dp.A), snap)
+
+
+def test_named_optimizers_step():
+    """--optimizer parity (reference train.py:56,283-285): named optax
+    optimizers build and step; unknown names fall back to Adam."""
+    import optax
+
+    from sph_nca_tpu.training.trainer import make_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 0.5), "b": jnp.full((4,), 0.25)}
+    outs = {}
+    for name in ("adam", "SGD", "rmsprop", "nosuch_optimizer"):
+        opt = make_optimizer(1e-2, name=name, grad_norm=False)
+        st = opt.init(params)
+        upd, _ = opt.update(grads, st, params)
+        new = optax.apply_updates(params, upd)
+        outs[name] = np.asarray(new["w"])
+        assert np.all(np.isfinite(outs[name]))
+    # the fallback equals adam; sgd differs from adam
+    np.testing.assert_allclose(outs["nosuch_optimizer"], outs["adam"])
+    assert np.abs(outs["SGD"] - outs["adam"]).max() > 1e-6
+
+
+def test_cli_optimizer_and_damage_flags():
+    """The new flags reach TrainConfig."""
+    from sph_nca_tpu.cli.train import build_parser
+
+    args = build_parser().parse_args(
+        ["--optimizer", "sgd", "--degrade_prob", "0.25",
+         "--erase_radius", "0.1"]
+    )
+    assert args.optimizer == "sgd"
+    assert args.degrade_prob == 0.25
+    assert args.erase_radius == 0.1
