@@ -14,6 +14,14 @@ import argparse
 import json
 import os
 
+import numpy as np
+
+
+def str2bool_eval(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "t", "yes", "y")
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
@@ -41,9 +49,16 @@ def main(argv=None) -> int:
     p.add_argument("--jitter", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="")
+    p.add_argument(
+        "--texture", type=str2bool_eval, default=False,
+        help="texture mode: score stationary statistics "
+        "(spectrum/color L1) of wrapped random-state rollouts against "
+        "the exemplar image instead of PSNR/SSIM (OT/style-trained "
+        "models have no pixel-aligned target)",
+    )
     args = p.parse_args(argv)
 
-    from ..eval import density_sweep
+    from ..eval import density_sweep, texture_eval
     from ..io import load_checkpoint, load_weights_json
     from ..utils.image import load_image
 
@@ -77,6 +92,36 @@ def main(argv=None) -> int:
         img_path, max_size=target_size, alpha_premultiply=premultiply
     )
     densities = tuple(float(s) for s in args.densities.split(","))
+
+    if args.texture:
+        res = texture_eval(
+            params, cfg, h, np.asarray(target)[..., :3],
+            base_size=base_size,
+            steps=args.steps,
+            densities=tuple(d for d in densities if d >= 1.0) or (1.0,),
+            jitters=(0.0, args.jitter) if args.jitter else (0.0, 0.5),
+            seed=args.seed,
+            use_3d=bool(train_args.get("use_3d", True)),
+        )
+        print(
+            f"baselines: self spectrum_l1="
+            f"{res['baseline_self']['spectrum_l1']:.4f} color_l1="
+            f"{res['baseline_self']['color_l1']:.4f} | gray spectrum_l1="
+            f"{res['baseline_gray']['spectrum_l1']:.4f} color_l1="
+            f"{res['baseline_gray']['color_l1']:.4f}"
+        )
+        print(f"{'density':>8} {'jitter':>7} {'spec_l1':>9} {'color_l1':>9}")
+        for r in res["sweep"]:
+            print(
+                f"{r['density']:8.2f} {r['jitter']:7.2f} "
+                f"{r['spectrum_l1']:9.4f} {r['color_l1']:9.4f}"
+            )
+        if args.out:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(res, f, indent=2)
+            print(f"wrote {args.out}")
+        return 0
 
     print(
         f"protocol: base_size={base_size} target_size={target_size} "

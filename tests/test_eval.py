@@ -79,3 +79,27 @@ def test_texture_stats_distance():
     assert same["spectrum_l1"] < 0.02
     assert diff["spectrum_l1"] > 5 * same["spectrum_l1"]
     assert diff["color_l1"] > same["color_l1"]
+
+
+def test_texture_eval_smoke():
+    """texture_eval runs end-to-end on a tiny model and emits calibrated
+    baselines (self floor ~0, gray ceiling ~1 on spectrum)."""
+    import jax
+
+    from sph_nca_tpu.eval import texture_eval
+    from sph_nca_tpu.models import SPHNCAConfig, init_params
+
+    cfg = SPHNCAConfig(channels=8, hidden=16, normalize_perception=5.0)
+    params = init_params(jax.random.key(0), cfg)
+    ex = np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(
+        np.float32
+    )
+    res = texture_eval(
+        params, cfg, 0.2, ex, base_size=12, steps=2, densities=(1.0,),
+        jitters=(0.0,), use_3d=False,
+    )
+    assert res["baseline_self"]["spectrum_l1"] < 1e-6
+    assert res["baseline_gray"]["spectrum_l1"] > 0.5
+    assert len(res["sweep"]) == 1
+    for k in ("spectrum_l1", "color_l1"):
+        assert np.isfinite(res["sweep"][0][k])
