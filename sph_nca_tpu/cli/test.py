@@ -157,12 +157,16 @@ def main(argv=None) -> int:
         x = jnp.asarray(pts[sel])
         n_vec = jnp.asarray(nrm[sel])
 
-        mpc, k = ops.suggest_capacity(np.asarray(x), h, dims)
-        graph = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k)
-        dmpc, dk = ops.suggest_capacity(np.asarray(x), DIFFUSE_H, DIFFUSE_DIMS)
-        diffuse_graph = ops.build_graph(
-            x, DIFFUSE_H, DIFFUSE_DIMS, max_per_cell=dmpc, k=dk
-        )
+        if args.engine != "cells":
+            # graph engines only feed the fallback path
+            mpc, k = ops.suggest_capacity(np.asarray(x), h, dims)
+            graph = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k)
+            dmpc, dk = ops.suggest_capacity(
+                np.asarray(x), DIFFUSE_H, DIFFUSE_DIMS
+            )
+            diffuse_graph = ops.build_graph(
+                x, DIFFUSE_H, DIFFUSE_DIMS, max_per_cell=dmpc, k=dk
+            )
 
         A = jnp.zeros((x.shape[0], cfg.channels))
         t = jnp.zeros_like(n_vec)
@@ -196,23 +200,28 @@ def main(argv=None) -> int:
 
         print(f"surface rollout: n={x.shape[0]}, {args.steps} steps")
         t0_wall = time.time()
-        if args.engine == "cells" and abs(h - DIFFUSE_H) < 1e-9:
-            # fast path: tangent perception + diffusion on the
-            # cell-dense engine's pair tables (models/surface.
-            # rollout_mesh_cells); valid when the diffusion radius
-            # equals the model h (true for every shipped config —
-            # the reference hard-codes 0.1 for both, nca.py:357)
-            from ..models.surface import rollout_mesh_cells
-            from ..ops.cells import build_cell_engine
+        if args.engine == "cells":
+            # fast path for ANY h: tangent perception on a band engine
+            # at the model's h, the diffusion blur on a second band
+            # engine at the reference's hard-coded DIFFUSE_H=0.1
+            # (nca.py:357) — one engine when they coincide (every
+            # shipped config). Round-2's gate `h == DIFFUSE_H` is gone.
+            from ..models.surface import rollout_mesh_batched_dual
+            from ..ops.bands import build_band_engine
 
-            ceng = build_cell_engine(
-                np.asarray(x), h, pair_tables="bfloat16",
-                xla_tables=False,
+            beng = build_band_engine(
+                np.asarray(x), h, table_dtype="bfloat16"
             )
-            _, _, states = rollout_mesh_cells(
-                params, cfg, ceng, A, n_vec, t, key,
+            beng_d = beng if abs(h - DIFFUSE_H) < 1e-9 else (
+                build_band_engine(
+                    np.asarray(x), DIFFUSE_H, table_dtype="bfloat16"
+                )
+            )
+            _, _, states = rollout_mesh_batched_dual(
+                params, cfg, beng, beng_d, A[None], n_vec, t[None], key,
                 args.steps, h, fire_rate=args.firerate, collect_all=True,
             )
+            states = states[:, 0]  # single rollout in the batch dim
         else:
             _, _, states = rollout_mesh(
                 params, cfg, graph, diffuse_graph, A, n_vec, t, key,

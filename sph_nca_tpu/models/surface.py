@@ -521,6 +521,19 @@ def rollout_mesh_batched(
     (final_S, td_prev), _ = jax.lax.scan(
         body, (SB0, td0), (keys, first), unroll=unroll
     )
+    return _finish_mesh_batched(
+        eng, final_S, td_prev, nd, b,
+        lerp_multiplier, w_multiplier, cfg.use_alpha,
+    )
+
+
+def _finish_mesh_batched(eng, final_S, td_prev, nd, b,
+                         lerp_multiplier, w_multiplier, use_alpha):
+    """Shared tail: the reference's step K ends with
+    T_K = diffuse(A_K, T_{K-1}); gather back to particle order."""
+    from ..ops.batched import batched_gather_back
+
+    C, M = final_S.shape[0], final_S.shape[1]
     # the scan's carry holds T_{K-1}; the reference's step K ends with
     # T_K = diffuse(A_K, T_{K-1})
     final_td = jax.lax.stop_gradient(
@@ -528,7 +541,7 @@ def rollout_mesh_batched(
             eng, nd, td_prev, final_S, b,
             lerp_multiplier=lerp_multiplier,
             w_multiplier=w_multiplier,
-            use_alpha=cfg.use_alpha,
+            use_alpha=use_alpha,
         )
     )
     ft = jnp.stack(final_td, axis=-1)  # [rows, B, 3]
@@ -537,3 +550,99 @@ def rollout_mesh_batched(
         batched_gather_back(eng, final_S, b),
         batched_gather_back(eng, ft, b),
     )
+
+
+def rollout_mesh_batched_dual(
+    params,
+    cfg,
+    eng,  # perception engine at the MODEL's h
+    eng_d,  # diffusion engine at DIFFUSE_H (its own layout)
+    A0: Array,  # [B, N, C]
+    n: Array,  # [N, 3]
+    t0: Array,  # [B, N, 3]
+    key: Array,
+    n_steps: int,
+    h,
+    *,
+    fire_rate: Optional[float] = None,
+    lerp_multiplier: float = 1.0,
+    w_multiplier: float = 1.0,
+    mlp_dtype: Optional[str] = None,
+    unroll: int = 1,
+    collect_all: bool = False,
+):
+    """General-h batched mesh rollout: the reference hard-codes the
+    tangent-diffusion radius to 0.1 REGARDLESS of the model's h
+    (nca.py:357), so a checkpoint with h != 0.1 needs two
+    neighborhoods. Perception runs on ``eng`` (model h); the diffusion
+    blur runs on ``eng_d`` (DIFFUSE_H) with a static permutation
+    between the two engines' rank layouts ([N, 4B] rows per step —
+    small next to the pair passes). Semantics follow ``sample_mesh``
+    exactly; when h == DIFFUSE_H use rollout_mesh_batched, whose fused
+    schedule shares one engine.
+
+    Returns (final_A [B, N, C], final_T [B, N, 3][, states
+    [n_steps+1, B, N, C] when collect_all]).
+    """
+    from ..ops.batched import (
+        batched_gather_back,
+        batched_scatter,
+        blur_batched,
+    )
+    from .cell_step import nca_step_cells_batched
+
+    b = A0.shape[0]
+    C, M = eng.xs.shape[0], eng.xs.shape[1]
+    rows = C * M
+    rows_d = eng_d.xs.shape[0] * eng_d.xs.shape[1]
+    SB0 = batched_scatter(eng, A0)
+    nc = eng.scatter(n)
+    t_cm = batched_scatter(eng, t0).reshape(rows, b, 3)
+    td0 = tuple(t_cm[..., d] for d in range(3))
+    pdt = jnp.bfloat16 if mlp_dtype == "bfloat16" else SB0.dtype
+    nd = tuple(x.astype(pdt) for x in normal_components(nc))
+    # static rank-layout permutation: perception rows -> diffusion rows
+    sp = eng.slot_of_particle
+    sd = eng_d.slot_of_particle
+    keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
+        jnp.arange(n_steps)
+    )
+
+    def to_diff(Y):  # [rows, L] eng layout -> [rows_d, L] eng_d layout
+        out = jnp.zeros((rows_d, Y.shape[-1]), Y.dtype)
+        return out.at[sd].set(Y[sp])
+
+    def from_diff(Y):
+        return jnp.zeros((rows, Y.shape[-1]), Y.dtype).at[sp].set(Y[sd])
+
+    def body(carry, k):
+        SB, td = carry
+        nSB = nca_step_cells_batched(
+            params, cfg, eng, SB, b, k, h,
+            fire_rate=fire_rate, mlp_dtype=mlp_dtype,
+            perception_transform=lambda ga: _project_td(ga, nd, td, b),
+        )
+        w = _diffuse_weights(nSB, b, cfg.use_alpha)
+        mt = _diffuse_mt(w, td, b, w_multiplier)
+        mt_d = to_diff(mt)
+        mt2 = blur_batched(
+            eng_d, mt_d.reshape(eng_d.xs.shape[0], eng_d.xs.shape[1],
+                                4 * b), b
+        ).reshape(rows_d, 4 * b)
+        ntd = jax.lax.stop_gradient(
+            _diffuse_combine(from_diff(mt2), w, td, nd, b, lerp_multiplier)
+        )
+        out = nSB if collect_all else None
+        return (nSB, ntd), out
+
+    (final_S, final_td), states = jax.lax.scan(
+        body, (SB0, td0), keys, unroll=unroll
+    )
+    ft = jnp.stack(final_td, axis=-1).reshape(C, M, b * 3)
+    fa = batched_gather_back(eng, final_S, b)
+    ftb = batched_gather_back(eng, ft, b)
+    if collect_all:
+        states = jax.vmap(lambda S: batched_gather_back(eng, S, b))(states)
+        states = jnp.concatenate([A0[None], states], axis=0)
+        return fa, ftb, states
+    return fa, ftb

@@ -169,3 +169,43 @@ def test_mesh_rollout_cells_matches_graph_path():
     alive = np.asarray(ref_A[:, 3]) > 0.1
     assert np.allclose(np.asarray(got_t)[alive], np.asarray(ref_t)[alive],
                        rtol=2e-3, atol=2e-3)
+
+
+def test_mesh_rollout_dual_engine_general_h():
+    """rollout_mesh_batched_dual: perception at the model h, diffusion
+    at a DIFFERENT radius (the reference hard-codes diffuse h=0.1
+    regardless of model h, nca.py:357) — must match the graph path with
+    separate h / diffuse graphs at fire_rate=1. This is the general-h
+    fast path cli/test.py uses for arbitrary checkpoints."""
+    from sph_nca_tpu.models.surface import rollout_mesh_batched_dual
+    from sph_nca_tpu.ops.bands import build_band_engine
+    from sph_nca_tpu.utils.seeds import add_radial_seed
+
+    h, hd = 0.22, 0.3  # model h != diffusion radius
+    x, nrm, g, _ = sphere_scene(1200, h)
+    dims_d = ops.default_dims(hd)
+    mpc, k = ops.suggest_capacity(np.asarray(x), hd, dims_d)
+    gd = ops.build_graph(x, hd, dims_d, max_per_cell=mpc, k=k)
+
+    eng = build_band_engine(np.asarray(x), h, table_dtype="float32")
+    eng_d = build_band_engine(np.asarray(x), hd, table_dtype="float32")
+    cfg = SPHNCAConfig(channels=8, hidden=32, normalize_perception=1.0 / h)
+    params = init_params(jax.random.key(0), cfg)
+    A0 = jnp.zeros((x.shape[0], 8))
+    A0 = add_radial_seed(x, A0, x[0], 0.3)
+    t0 = jax.vmap(orthogonalize)(nrm, jnp.ones_like(nrm))
+
+    ref_A, ref_t, _ = rollout_mesh(
+        params, cfg, g, gd, A0, nrm, t0, jax.random.key(1), 4, h,
+        fire_rate=1.0,
+    )
+    got_A, got_t, states = rollout_mesh_batched_dual(
+        params, cfg, eng, eng_d, A0[None], nrm, t0[None],
+        jax.random.key(1), 4, h, fire_rate=1.0, collect_all=True,
+    )
+    assert states.shape == (5, 1, x.shape[0], 8)
+    assert np.allclose(np.asarray(got_A[0]), np.asarray(ref_A),
+                       rtol=2e-3, atol=2e-3)
+    alive = np.asarray(ref_A[:, 3]) > 0.1
+    assert np.allclose(np.asarray(got_t[0])[alive],
+                       np.asarray(ref_t)[alive], rtol=2e-3, atol=2e-3)
