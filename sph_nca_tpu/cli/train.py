@@ -109,9 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("auto", "on", "off"),
         help="keep the replay pool in device HBM (auto: when < 4 GB)",
     )
-    p.add_argument("--engine", choices=["cells", "graph"], default="cells",
-                   help="neighborhood engine: cell-dense+Pallas (fast) or "
-                        "fixed-K neighbor lists")
+    p.add_argument("--engine", choices=["band", "cells", "graph"],
+                   default="band",
+                   help="neighborhood engine: band (curve-banded pair "
+                        "tables, the round-3 flagship), cells "
+                        "(cell-dense + Pallas), or graph (fixed-K "
+                        "neighbor lists)")
     p.add_argument("--resume", type=str, default="",
                    help="checkpoint dir to resume from (pool + RNG + "
                         "optimizer state restored exactly), or 'auto' to "
@@ -216,7 +219,19 @@ def main(argv=None) -> int:
         period = jnp.asarray(gsize) if args.wrap else None
 
     t0 = time.time()
-    if args.engine == "cells":
+    if args.engine == "band":
+        from ..ops.bands import build_band_engine
+
+        # the round-3 flagship pair structure (ops/bands.py): true-pair
+        # band/far tables (f32 for training numerics), native C++ build
+        graph = build_band_engine(x, h, period=period,
+                                  table_dtype="float32")
+        print(
+            f"band engine: n={x.shape[0]} blocks={graph.num_cells} "
+            f"P={graph.slots_per_cell} ({time.time() - t0:.1f}s"
+            f"{', periodic' if args.wrap else ''})"
+        )
+    elif args.engine == "cells":
         from ..ops.cells import build_cell_engine
 
         # f32 pair tables switch the trainer onto the batched-lane

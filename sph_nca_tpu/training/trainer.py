@@ -300,11 +300,12 @@ class Trainer:
         def run_rollout(params):
             """Rollout on either engine; returns (final, collected) in
             PARTICLE order [B, N, C] / [B, S, N, C]."""
+            from ..ops.bands import BandEngine
             from ..ops.cells import CellEngine
 
-            if isinstance(graph, CellEngine):
+            if isinstance(graph, (CellEngine, BandEngine)):
                 bsz = A0.shape[0]
-                if graph.blk_md is not None:
+                if isinstance(graph, BandEngine) or graph.blk_md is not None:
                     # batched-lane fast path (ops/batched.py): all B
                     # rollouts share the lane dim; tables read once per
                     # batch instead of once per sample

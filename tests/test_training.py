@@ -349,3 +349,43 @@ def test_cli_optimizer_and_damage_flags():
     assert args.optimizer == "sgd"
     assert args.degrade_prob == 0.25
     assert args.erase_radius == 0.1
+
+
+def test_trainer_on_band_engine_learns():
+    """Same smoke training through the BAND engine (cli/train.py's
+    default since round 3): dispatch via ops/batched.py's batched-lane
+    rollout, loss must drop as on the other engines."""
+    from sph_nca_tpu.ops.bands import build_band_engine
+
+    m, h = 16, 0.25
+    x = grange((m, m), jnp.asarray([-1.0, -1.0]), jnp.asarray([2.0, 2.0]))
+    x = x.reshape(-1, 2)
+    eng = build_band_engine(np.asarray(jnp.pad(x, ((0, 0), (0, 1)))), h)
+
+    img = np.zeros((8, 8, 4), np.float32)
+    img[..., 0] = 1.0
+    img[..., 1] = 0.5
+    img[..., 3] = 1.0
+    img = jnp.asarray(img)
+
+    model_cfg = SPHNCAConfig(
+        channels=8, hidden=32, normalize_perception=1.0 / h, use_alpha=False
+    )
+    loss_cfg = MSELossConfig(
+        gmin=(-1, -1), gsize=(2, 2), image_scale=1.0, overflow_weight=0.05,
+        use_alpha=False,
+    )
+    bundle = make_mse_bundle(img, loss_cfg)
+    train_cfg = TrainConfig(
+        batch_size=2, pool_size=8, steps_range=(6, 10), steps_increment=2,
+        lr=5e-3, lr_decay_steps=60,
+    )
+    trainer = Trainer(model_cfg, train_cfg, eng, x, bundle, h)
+    A_seed = plane_seed(x, model_cfg.channels, gmin=(-1, -1),
+                        gsize=(2, 2), radius=h)
+    pool = Pool(np.asarray(x), np.asarray(A_seed), train_cfg.pool_size)
+    losses = [trainer.run_iteration(i, pool) for i in range(60)]
+    assert np.isfinite(losses).all()
+    early = np.mean(losses[:5])
+    late = np.mean(losses[-5:])
+    assert late < early * 0.3, f"loss did not improve: {early} -> {late}"
