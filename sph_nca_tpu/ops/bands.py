@@ -533,25 +533,51 @@ def _true_pairs(x: np.ndarray, h: float, period) -> tuple:
 
 
 def _bucket_cuts(widths: np.ndarray, k: int) -> list:
-    """Split sorted far widths into <= k buckets minimizing padded area
-    (greedy equal-count start is fine at these sizes)."""
+    """Split far widths into <= k buckets MINIMIZING padded area: every
+    block in a bucket pads to the bucket's max width, so the cost of a
+    partition is sum over buckets of (bucket max) * (bucket count).
+    Exact DP over the distinct widths (there are only O(100) of them) —
+    the previous greedy equal-count split left ~15-20% extra padding on
+    the measured geometries."""
     nz = widths[widths > 0]
     if len(nz) == 0:
         return []
-    s = np.sort(nz)
-    k = min(k, len(s))
+    vals, cnts = np.unique(nz, return_counts=True)  # ascending
+    m = len(vals)
+    k = min(k, m)
+    csum = np.concatenate([[0], np.cumsum(cnts)])
+    # cost of one bucket covering distinct-width range (i, j]:
+    # vals[j-1] * (number of blocks in that range)
+    INF = float("inf")
+    # dp[b][j]: min padded area covering the first j widths with b buckets
+    dp = [[INF] * (m + 1) for _ in range(k + 1)]
+    choice = [[0] * (m + 1) for _ in range(k + 1)]
+    dp[0][0] = 0.0
+    for b in range(1, k + 1):
+        dp[b][0] = 0.0
+        for j in range(1, m + 1):
+            best, arg = INF, 0
+            for i in range(j):
+                if dp[b - 1][i] == INF:
+                    continue
+                c = dp[b - 1][i] + float(vals[j - 1]) * (csum[j] - csum[i])
+                if c < best:
+                    best, arg = c, i
+            dp[b][j] = best
+            choice[b][j] = arg
+    # fewest buckets achieving the k-bucket optimum (padding never
+    # improves by splitting without area gain)
+    bstar = k
+    for b in range(1, k + 1):
+        if dp[b][m] <= dp[k][m] + 1e-9:
+            bstar = b
+            break
     cuts = []
-    size = len(s) // k
-    for i in range(k):
-        seg = s[i * size : (i + 1) * size] if i < k - 1 else s[i * size :]
-        if len(seg):
-            cuts.append(int(seg.max()))
-    # dedupe while preserving order
-    out = []
-    for c in cuts:
-        if not out or c > out[-1]:
-            out.append(c)
-    return out
+    j = m
+    for b in range(bstar, 0, -1):
+        cuts.append(int(vals[j - 1]))
+        j = choice[b][j]
+    return cuts[::-1]
 
 
 def build_band_engine(
@@ -662,12 +688,17 @@ def build_band_engine(
     del w6
 
     _tick("weights")
+    # int32 throughout: at 1M points the pair arrays are 30M+ long and
+    # every int64 temporary here is a 244 MB allocation on a host where
+    # fresh pages cost ~1.6 GB/s
+    pi = np.asarray(pi, np.int32)
+    pj = np.asarray(pj, np.int32)
     bi = pi // P
     bj = pj // P
     # band slot: 1 = same block, 2 = next (mod nb), 0 = previous (mod nb)
-    dbf = (bj - bi) % nb
-    dbb = (bi - bj) % nb
-    slot = np.full(len(pi), -1, np.int64)
+    dbf = (bj - bi) % np.int32(nb)
+    dbb = (bi - bj) % np.int32(nb)
+    slot = np.full(len(pi), -1, np.int32)
     slot[dbf == 0] = 1
     nxt = (slot < 0) & (dbf == 1)
     slot[nxt] = 2
@@ -717,7 +748,8 @@ def build_band_engine(
     far = ~in_band
     Rg = R // g + 1  # (block, group) key multiplier
     if far.any():
-        ubg = np.unique(bi[far] * Rg + (pj[far] // g))
+        # int64 keys: block * Rg overflows int32 at 1M+ points
+        ubg = np.unique(bi[far].astype(np.int64) * Rg + (pj[far] // g))
         ub, ug = ubg // Rg, ubg % Rg
         grp_count = np.bincount(ub, minlength=nb)
     else:
@@ -754,7 +786,9 @@ def build_band_engine(
         psel = np.flatnonzero(
             far & (grp_count[bi] > lo0) & (grp_count[bi] <= wmax)
         )
-        ppos = np.searchsorted(keys_bg, bi[psel] * Rg + pj[psel] // g)
+        ppos = np.searchsorted(
+            keys_bg, bi[psel].astype(np.int64) * Rg + pj[psel] // g
+        )
         col = posn[ppos] * g + pj[psel] % g
         tab, gst = fill_table(psel, col, row_of[bi[psel]], len(blks),
                               wmax * g)
