@@ -69,9 +69,21 @@ def get_pairs(word):
 
 
 def basic_clean(text: str) -> str:
-    # the reference chain applies ftfy.fix_text; offline we keep the
-    # html-unescape part (ASCII prompts are unaffected)
-    return html.unescape(html.unescape(text)).strip()
+    """open_clip's tokenize chain applies ftfy.fix_text then a double
+    html.unescape. ftfy isn't in this image; its deterministic,
+    prompt-relevant parts are reproduced here — NFC unicode
+    normalization and control-character removal (mojibake repair, the
+    heuristic remainder, cannot change well-formed prompts, which is
+    what fix_text reduces to on valid input)."""
+    import unicodedata
+
+    text = html.unescape(html.unescape(text))
+    text = unicodedata.normalize("NFC", text)
+    text = "".join(
+        ch for ch in text
+        if unicodedata.category(ch) != "Cc" or ch in "\t\n"
+    )
+    return text.strip()
 
 
 class SimpleTokenizer:

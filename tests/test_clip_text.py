@@ -139,3 +139,15 @@ def test_get_text_features_pipeline():
     assert f.shape == (512,)
     np.testing.assert_allclose(float(np.linalg.norm(np.asarray(f))), 1.0,
                                rtol=1e-5)
+
+
+def test_basic_clean_normalizes_unicode():
+    """ftfy-chain parity on its deterministic parts: NFC composition,
+    control-char stripping, double html unescape."""
+    from sph_nca_tpu.training.clip_text import basic_clean
+
+    # NFC: decomposed e + combining acute -> precomposed
+    assert basic_clean("café") == "café"
+    # control chars dropped, entities unescaped twice
+    assert basic_clean("a\x00b &amp;amp; c") == "ab & c"
+    assert basic_clean("  plain ascii  ") == "plain ascii"
