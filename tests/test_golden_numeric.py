@@ -168,3 +168,35 @@ def test_golden_step_batched_lane_engine(fix, model):
     out = np.asarray(batched_gather_back(eng, SB, b))
     for i in range(b):
         np.testing.assert_allclose(out[i], fix["nA1"], rtol=5e-4, atol=5e-5)
+
+
+def test_golden_step_band_engine(fix, model):
+    """The BAND engine (ops/bands.py — the round-3 flagship bench.py
+    measures, also the training default) reproduces the reference math
+    numerically: a 5th independent tier against the float64 dense
+    oracle fixture, through the same batched step."""
+    import jax
+    import jax.numpy as jnp
+
+    from sph_nca_tpu.models.cell_step import nca_step_cells_batched
+    from sph_nca_tpu.ops.bands import build_band_engine
+    from sph_nca_tpu.ops.batched import batched_gather_back, batched_scatter
+
+    h = float(fix["h"])
+    eng = build_band_engine(
+        np.asarray(fix["x"], np.float64), h, block_rows=16,
+        table_dtype="float32",
+    )
+    b = 2
+    AB = jnp.broadcast_to(
+        jnp.asarray(fix["A0"], jnp.float32)[None],
+        (b,) + fix["A0"].shape,
+    )
+    SB = batched_scatter(eng, AB)
+    SB = nca_step_cells_batched(
+        model.params, model.cfg, eng, SB, b, jax.random.key(0), h,
+        fire_rate=1.0,
+    )
+    out = np.asarray(batched_gather_back(eng, SB, b))
+    for i in range(b):
+        np.testing.assert_allclose(out[i], fix["nA1"], rtol=5e-4, atol=5e-5)
