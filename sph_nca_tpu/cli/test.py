@@ -57,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_3d", type=str2bool, default=True)
     p.add_argument("--export_every", type=int, default=1,
                    help="export every n-th step")
-    p.add_argument("--engine", choices=["cells", "graph"], default="cells")
+    p.add_argument("--engine", choices=["band", "cells", "graph"],
+                   default="band")
     return p
 
 
@@ -157,7 +158,7 @@ def main(argv=None) -> int:
         x = jnp.asarray(pts[sel])
         n_vec = jnp.asarray(nrm[sel])
 
-        if args.engine != "cells":
+        if args.engine == "graph":
             # graph engines only feed the fallback path
             mpc, k = ops.suggest_capacity(np.asarray(x), h, dims)
             graph = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k)
@@ -200,7 +201,7 @@ def main(argv=None) -> int:
 
         print(f"surface rollout: n={x.shape[0]}, {args.steps} steps")
         t0_wall = time.time()
-        if args.engine == "cells":
+        if args.engine in ("band", "cells"):
             # fast path for ANY h: tangent perception on a band engine
             # at the model's h, the diffusion blur on a second band
             # engine at the reference's hard-coded DIFFUSE_H=0.1
@@ -260,7 +261,27 @@ def main(argv=None) -> int:
         )
         print(f"image rollout: n={x.shape[0]}, {args.steps} steps")
         t0_wall = time.time()
-        if args.engine == "cells":
+        if args.engine == "band":
+            import jax.numpy as jnpb
+
+            from ..models.cell_step import rollout_cells_batched
+            from ..ops.bands import build_band_engine
+            from ..ops.batched import batched_gather_back, batched_scatter
+
+            beng = build_band_engine(np.asarray(x), h, period=period,
+                                     table_dtype="bfloat16")
+            SB0 = batched_scatter(beng, A0[None])
+            out = rollout_cells_batched(
+                params, cfg, beng, SB0, 1, key, args.steps, h,
+                fire_rate=args.firerate,
+                collect_steps=jnpb.arange(args.steps + 1),
+            )
+            states = np.asarray(
+                jax.vmap(lambda S: batched_gather_back(beng, S, 1))(
+                    out.collected
+                )
+            )[:, 0]
+        elif args.engine == "cells":
             from ..models.cell_step import rollout_states_cells
             from ..ops.cells import build_cell_engine
 

@@ -128,22 +128,26 @@ def rollout_on_points(
     any discretization, same trained weights.
     """
     from .models import to_rgba
-    from .models.cell_step import rollout_cells
-    from .ops.cells import build_cell_engine
+    from .models.cell_step import rollout_cells_batched
+    from .ops.bands import build_band_engine
+    from .ops.batched import batched_gather_back, batched_scatter
     from .utils.seeds import plane_seed
 
     x = jnp.pad(x2, ((0, 0), (0, 1))) if use_3d else x2
-    eng = build_cell_engine(x, h, period=period)
+    # the flagship band engine (f32 tables: evaluation numerics)
+    eng = build_band_engine(
+        np.asarray(x), h, period=period, table_dtype="float32"
+    )
     key, ks = jax.random.split(key)
     A0 = plane_seed(
         x2, cfg.channels, gmin=(-1, -1), gsize=(2, 2),
         radius=seed_radius if seed_radius else h,
         randomized=randomized, key=ks,
     )
-    out = rollout_cells(
-        params, cfg, eng, eng.scatter(A0), key, steps, h
+    out = rollout_cells_batched(
+        params, cfg, eng, batched_scatter(eng, A0[None]), 1, key, steps, h
     )
-    final = eng.gather_back(out.final)
+    final = batched_gather_back(eng, out.final, 1)[0]
     return np.asarray(to_rgba(final, cfg.use_alpha))
 
 
