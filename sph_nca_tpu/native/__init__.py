@@ -65,6 +65,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sphgrid_accum_table.restype = None
         lib.sphgrid_accum_table.argtypes = [
@@ -156,8 +158,9 @@ def fps(x: np.ndarray, m: int, start: int = 0) -> Optional[np.ndarray]:
 
 
 def true_pairs(
-    x: np.ndarray, h: float, period: Optional[np.ndarray] = None
-) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    x: np.ndarray, h: float, period: Optional[np.ndarray] = None,
+    with_sums: bool = False,
+):
     """All true SPH pairs |r| < h of rank-ordered positions (incl. self;
     periodic pairs once per contributing image) — the native form of
     ops/bands._true_pairs. Returns (pi, pj, dx [E, D] f32, d2 [E] f32 —
@@ -181,6 +184,11 @@ def true_pairs(
     # only re-run if the exact count overflows the guess — the scan
     # itself dominates, so avoiding the count-only pass halves the cost
     cap = 33 * n + 1024
+    w6sum = np.empty(n, np.float64) if with_sums else None
+    nbr = np.empty(n, np.int32) if with_sums else None
+    wp = (w6sum.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+          if with_sums else ctypes.POINTER(ctypes.c_double)())
+    np_ = _iptr(nbr) if with_sums else ctypes.POINTER(ctypes.c_int32)()
     while True:
         pi = np.empty(cap, np.int32)
         pj = np.empty(cap, np.int32)
@@ -188,11 +196,13 @@ def true_pairs(
         d2 = np.empty(cap, np.float32)
         e = lib.sphgrid_true_pairs(
             xp, n, d, ctypes.c_double(h), p_ptr, cap, _iptr(pi), _iptr(pj),
-            _fptr(dx), _fptr(d2),
+            _fptr(dx), _fptr(d2), wp, np_,
         )
         if e < 0:
             return None
         if e <= cap:
+            if with_sums:
+                return pi[:e], pj[:e], dx[:e], d2[:e], w6sum, nbr
             return pi[:e], pj[:e], dx[:e], d2[:e]
         cap = e
 

@@ -165,9 +165,13 @@ void sphgrid_fps(const float* x, int64_t n, int d, int64_t m, int64_t start,
 // Call with cap = 0 (null outputs) to count; call again with cap >= E
 // to fill. Returns the total pair count E, or -1 if the grid would be
 // degenerate (caller falls back to numpy).
+// w6sum / nbr (nullable, length n): per-particle sums of the poly6
+// core (h^2-d2)^3 and neighbor counts, accumulated during the scan so
+// the caller never materializes per-pair weight arrays (zeroed here).
 int64_t sphgrid_true_pairs(const double* x, int64_t n, int d, double h,
                            const double* period, int64_t cap, int32_t* pi,
-                           int32_t* pj, float* dx_out, float* d2_out) {
+                           int32_t* pj, float* dx_out, float* d2_out,
+                           double* w6sum, int32_t* nbr) {
   if (d < 1 || d > 3 || n <= 0) return -1;
   double cell[3], per[3];
   int64_t ncell[3];
@@ -238,6 +242,8 @@ int64_t sphgrid_true_pairs(const double* x, int64_t n, int d, double h,
   }
 
   const double h2 = h * h;
+  if (w6sum) std::memset(w6sum, 0, n * sizeof(double));
+  if (nbr) std::memset(nbr, 0, n * sizeof(int32_t));
   int64_t e = 0;
   int off[3] = {0, 0, 0};
   for (int64_t p = 0; p < n; ++p) {
@@ -282,6 +288,9 @@ int64_t sphgrid_true_pairs(const double* x, int64_t n, int d, double h,
             for (int i = 0; i < d; ++i) dx_out[e * d + i] = (float)dxv[i];
             d2_out[e] = (float)dd;
           }
+          if (w6sum)
+            w6sum[p] += (h2 - dd) * (h2 - dd) * (h2 - dd);
+          if (nbr) nbr[p]++;
           ++e;
         }
       }

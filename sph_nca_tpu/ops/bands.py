@@ -661,18 +661,34 @@ def build_band_engine(
     nb = -(-nb // bm) * bm
     R = nb * P
 
-    pi, pj, dx, d2 = _true_pairs(xr, float(h), per)
+    from .. import native as _native
+
+    # the native scan also accumulates the per-particle poly6 sums and
+    # neighbor counts in-flight (per-pair f64 weight temporaries on this
+    # churn-sensitive host profiled ~15 s at 1M points)
+    nat = _native.true_pairs(
+        xr, float(h),
+        None if per is None else np.asarray(per, np.float64),
+        with_sums=True,
+    )
+    w6sum = ncnt_nat = None
+    if nat is not None:
+        pi, pj, dx, d2, w6sum, ncnt_nat = nat
+    else:
+        pi, pj, dx, d2 = _true_pairs(xr, float(h), per)
     _tick(f"pairs: {len(pi)}")
 
     # volumes: v_i = 1 / (sigma_W sum_j W(d2)), reference :70-76
     sig_w = float(K.get_smoothing_kernel(smoothing).norm(h, d))
     sig_g = float(K.get_gradient_kernel(gradient_kernel).norm(h, d))
     h2 = float(h) * float(h)
-    w6 = (h2 - d2) ** 3
-    inv_v = sig_w * np.bincount(pi, weights=w6, minlength=R)
+    if w6sum is not None:
+        inv_v = sig_w * np.pad(w6sum, (0, R - n))
+    else:
+        inv_v = sig_w * np.bincount(
+            pi, weights=(h2 - d2) ** 3, minlength=R
+        )
     v = np.where(inv_v > 0.0, 1.0 / np.maximum(inv_v, 1e-300), 0.0)
-
-    from .. import native as _native
 
     # fused native fill (bf16 tables): the pair weights are computed
     # inside sphgrid_fill_cast_bf16 from raw (dx, d2, v) — materializing
@@ -680,12 +696,13 @@ def build_band_engine(
     # ~10 s of fresh-page f64 temporaries at 100k on this host
     fused = table_dtype == "bfloat16" and _native.available()
     if not fused:
+        w6 = (h2 - d2) ** 3
         dist = np.sqrt(np.where(d2 > 0.0, d2, 1.0))
         mag = np.where(d2 > 0.0, 3.0 * (h - dist) ** 2 / dist, 0.0)
         vj = v[pj]
         w6v = w6 * vj  # poly6 core * source volume
         mdv = mag[:, None] * dx * vj[:, None]  # [E, D]
-    del w6
+        del w6
 
     _tick("weights")
     # int32 throughout: at 1M points the pair arrays are 30M+ long and
@@ -849,7 +866,10 @@ def build_band_engine(
     xs[:n] = xr.astype(np.float32)
     vs = np.zeros((R,), np.float32)
     vs[:n] = v[:n]
-    ncnt = np.bincount(pi, minlength=R).astype(np.int32)
+    if ncnt_nat is not None:
+        ncnt = np.pad(ncnt_nat, (0, R - n))
+    else:
+        ncnt = np.bincount(pi, minlength=R).astype(np.int32)
 
     # real-row indicator per far window row (pad rows of the group list
     # point at group 0 — REAL particles — but their table entries are
