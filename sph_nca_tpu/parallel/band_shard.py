@@ -516,3 +516,126 @@ def rollout_band_sharded(
         check_vma=False,
     )(shards, X0, keys)
     return out.reshape(k * S, Pr, L)
+
+
+def rollout_mesh_band_sharded(
+    params,
+    cfg,
+    shards: BandShards,
+    static: BandShardStatic,
+    mesh: Mesh,
+    SB0: Array,  # [nb, P, B*F] global rank layout (batched_scatter)
+    nc: Array,  # [nb, P, 3] shared normals in rank layout (eng.scatter)
+    tB0: Array,  # [nb*P, B, 3] per-sample tangents in rank layout
+    b: int,
+    key: Array,
+    n_steps: int,
+    h,
+    *,
+    fire_rate: Optional[float] = None,
+    lerp_multiplier: float = 1.0,
+    w_multiplier: float = 1.0,
+    mlp_dtype: Optional[str] = None,
+):
+    """Halo-sharded SURFACE rollout — the flagship bench configuration
+    (tangent-projected perception + fused tangent diffusion,
+    models/surface.rollout_mesh_batched) over the particle mesh axis.
+    The tangent machinery is per-row (no comm); the diffusion blur rides
+    the perception pass's extra lanes through the same halo exchange.
+    Returns (final_S [nb, P, B*F], final_td 3x [nb*P, B]) in rank
+    layout — the caller runs the final T_K = diffuse(A_K, T_{K-1}) on
+    the global engine and gathers back (one standalone blur outside the
+    scan, as in rollout_mesh_batched)."""
+    from ..models.cell_step import _update_core
+    from ..models.surface import (
+        _diffuse_combine,
+        _diffuse_mt,
+        _diffuse_weights,
+        _project_td,
+        normal_components,
+    )
+    from ..ops.batched import expand_lanes
+
+    if fire_rate is None:
+        fire_rate = cfg.fire_rate
+    k = static.k
+    S = shards.blocks_per_shard
+    Pr = static.P
+    L = SB0.shape[-1]
+    f = L // b
+    rows_s = S * Pr
+    pdt = jnp.bfloat16 if mlp_dtype == "bfloat16" else SB0.dtype
+    X0 = SB0.reshape(k, S, Pr, L)
+    nd_g = tuple(
+        x.astype(pdt).reshape(k, rows_s, 1)
+        for x in normal_components(nc)
+    )
+    td_g = tuple(
+        tB0[..., i].reshape(k, rows_s, b) for i in range(3)
+    )
+    keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(
+        jnp.arange(n_steps)
+    )
+    first = (jnp.arange(n_steps) == 0)
+
+    shard_specs = jax.tree.map(lambda _: P(PARTICLE_AXIS), shards)
+
+    def body_fn(loc, X0s, nd0, td0, keys_r, first_r):
+        loc = jax.tree.map(lambda a: a[0], loc)
+        X = X0s[0]
+        nd = tuple(x[0] for x in nd0)
+        td0 = tuple(t[0] for t in td0)
+        idx = jax.lax.axis_index(PARTICLE_AXIS)
+
+        def step(carry, xs):
+            Xc, td = carry
+            kstep, is_first = xs
+            ks = jax.random.fold_in(kstep, idx)
+            w = jax.lax.stop_gradient(
+                _diffuse_weights(Xc, b, cfg.use_alpha)
+            )
+            mt = _diffuse_mt(
+                w, tuple(jax.lax.stop_gradient(t) for t in td), b,
+                w_multiplier,
+            )
+            gaB, pre_sm, mt2 = perceive_band_sharded(
+                loc, static, Xc, b, cfg.use_alpha, out_dtype=mlp_dtype,
+                extra=mt.reshape(S, Pr, 4 * b),
+            )
+            dtd = _diffuse_combine(
+                mt2.reshape(rows_s, 4 * b), w, td, nd, b, lerp_multiplier
+            )
+            ntd = tuple(
+                jnp.where(is_first, t, dt) for t, dt in zip(td, dtd)
+            )
+            gaB = _project_td(gaB, nd, ntd, b)
+            prev_mask = pre_sm > ALIVE_THRESHOLD
+            nS = _update_core(
+                params, cfg, Xc.reshape(rows_s, b * f),
+                gaB.reshape(rows_s, -1), b, f, ks, h, fire_rate, mlp_dtype,
+            )
+            nXB = nS.reshape(S, Pr, b * f)
+            new_sm = mask_blur_band_sharded(
+                loc, static, jax.lax.stop_gradient(nXB), b, cfg.use_alpha
+            )
+            living = expand_lanes(
+                (prev_mask & (new_sm > ALIVE_THRESHOLD)).reshape(
+                    rows_s, b
+                ).astype(nS.dtype), f,
+            )
+            return ((nS * living).reshape(S, Pr, b * f), ntd), None
+
+        (Xf, tdf), _ = jax.lax.scan(step, (X, td0), (keys_r, first_r))
+        return Xf[None], tuple(t[None] for t in tdf)
+
+    out, td_out = jax.shard_map(
+        body_fn,
+        mesh=mesh,
+        in_specs=(shard_specs, P(PARTICLE_AXIS), (P(PARTICLE_AXIS),) * 3,
+                  (P(PARTICLE_AXIS),) * 3, P(), P()),
+        out_specs=(P(PARTICLE_AXIS), (P(PARTICLE_AXIS),) * 3),
+        check_vma=False,
+    )(shards, X0, nd_g, td_g, keys, first)
+    final_S = out.reshape(k * S, Pr, L)
+    final_td = tuple(t.reshape(k * rows_s, b) for t in td_out)
+    return final_S, final_td

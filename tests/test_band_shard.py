@@ -180,3 +180,60 @@ def test_comm_accounting(rng):
     assert acc["export_fraction"] < 1.0
     assert acc["allgather_bytes"] < acc["full_state_bytes"]
     assert acc["ppermute_bytes"] == 2 * static.P * B * F * 4
+
+
+def test_sharded_mesh_rollout_matches_global_fr1(rng):
+    """The halo-sharded SURFACE rollout (tangent projection + fused
+    diffusion through the sharded extra lanes) == the single-device
+    fused mesh rollout at fire_rate=1 — the flagship bench
+    configuration, multi-chip."""
+    from sph_nca_tpu.models.surface import (
+        _diffuse_td,
+        normal_components,
+        normalize,
+        orthogonalize,
+        rollout_mesh_batched,
+    )
+    from sph_nca_tpu.ops.batched import batched_gather_back, batched_scatter
+    from sph_nca_tpu.parallel.band_shard import rollout_mesh_band_sharded
+
+    x = rng.normal(size=(N, 3)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True) + 1e-9
+    x *= 0.8
+    nrm = jnp.asarray(x / 0.8)
+    eng = build_band_engine(
+        jnp.asarray(x), H, block_rows=16, table_dtype="float32",
+        block_multiple=K,
+    )
+    shards, static = shard_band_engine(eng, K)
+    mesh = make_mesh(particle=K)
+    cfg = SPHNCAConfig(channels=F, hidden=32, normalize_perception=1.0 / H)
+    params = init_params(jax.random.key(0), cfg)
+    A0 = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    t0r = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    t0 = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
+
+    ref_A, ref_t = rollout_mesh_batched(
+        params, cfg, eng, A0, nrm, t0, jax.random.key(1), 3, H,
+        fire_rate=1.0,
+    )
+
+    SB0 = batched_scatter(eng, A0)
+    nc = eng.scatter(nrm)
+    rows = eng.num_cells * eng.slots_per_cell
+    tB0 = batched_scatter(eng, t0).reshape(rows, B, 3)
+    fS, ftd = rollout_mesh_band_sharded(
+        params, cfg, shards, static, mesh, SB0, nc, tB0, B,
+        jax.random.key(1), 3, H, fire_rate=1.0,
+    )
+    got_A = batched_gather_back(eng, fS, B)
+    # epilogue: T_K = diffuse(A_K, T_{K-1}) on the global engine
+    nd = normal_components(nc)
+    final_td = _diffuse_td(eng, nd, ftd, fS, B, use_alpha=cfg.use_alpha)
+    ft = jnp.stack(final_td, axis=-1).reshape(
+        eng.num_cells, eng.slots_per_cell, B * 3
+    )
+    got_t = batched_gather_back(eng, ft, B)
+    assert rel_err(ref_A, got_A) < 1e-4
+    alive = np.asarray(ref_A[..., 3]) > 0.1
+    assert rel_err(np.asarray(ref_t)[alive], np.asarray(got_t)[alive]) < 1e-3
