@@ -277,3 +277,32 @@ def test_band_mesh_rollout_matches_cell_engine(rng):
     )
     assert rel_err(ca, fa) < 1e-4
     assert rel_err(ct, ft) < 1e-4
+
+
+def test_bucket_cuts_dp_optimal():
+    """_bucket_cuts minimizes padded area exactly and collapses to
+    fewer buckets when free."""
+    from sph_nca_tpu.ops.bands import _bucket_cuts
+
+    # all equal widths -> one bucket, zero padding
+    w = np.full(10, 7, np.int64)
+    assert _bucket_cuts(w, 4) == [7]
+    # zeros are ignored
+    assert _bucket_cuts(np.array([0, 0, 5]), 4) == [5]
+    assert _bucket_cuts(np.zeros(3, np.int64), 4) == []
+    # two clusters, k=2: the optimal cut separates them
+    w = np.array([1] * 50 + [100] * 2)
+    assert _bucket_cuts(w, 2) == [1, 100]
+    # k=1 must cover everything with the max
+    assert _bucket_cuts(w, 1) == [100]
+    # padded area of the DP <= any manual partition (spot check)
+    w = np.array([3, 3, 5, 9, 9, 9, 20])
+    cuts = _bucket_cuts(w, 2)
+    def area(cuts):
+        lo, tot = 0, 0
+        for c in cuts:
+            n = int(((w > lo) & (w <= c)).sum())
+            tot += c * n
+            lo = c
+        return tot
+    assert area(cuts) <= min(area([5, 20]), area([9, 20]), area([3, 20]))
