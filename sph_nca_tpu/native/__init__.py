@@ -68,6 +68,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.sphgrid_band_cols.restype = None
+        lib.sphgrid_band_cols.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sphgrid_fill_band_bf16.restype = None
+        lib.sphgrid_fill_band_bf16.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_float),
+        ]
         lib.sphgrid_accum_table.restype = None
         lib.sphgrid_accum_table.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -205,6 +220,50 @@ def true_pairs(
                 return pi[:e], pj[:e], dx[:e], d2[:e], w6sum, nbr
             return pi[:e], pj[:e], dx[:e], d2[:e]
         cap = e
+
+
+def band_cols(pi: np.ndarray, pj: np.ndarray, p: int,
+              nb: int) -> Optional[np.ndarray]:
+    """Per-pair band-window column (slot*P + pj%P; -1 = far pair), or
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pi = np.ascontiguousarray(pi, np.int32)
+    pj = np.ascontiguousarray(pj, np.int32)
+    out = np.empty(len(pi), np.int32)
+    lib.sphgrid_band_cols(_iptr(pi), _iptr(pj), len(pi), p, nb, _iptr(out))
+    return out
+
+
+def fill_band_bf16(pi, band_col, pairs, v, h, nrows, p):
+    """Band-table fill + bf16 quantize + gsum row sums driven directly
+    by the (pi-sorted) pair arrays — no selection arrays. band_col < 0
+    marks far pairs (skipped). Returns (bf16 [nrows, 3P, (d+1)P], gs)
+    or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ml_dtypes
+
+    _, pj, dx, d2 = pairs
+    d = dx.shape[1]
+    pi = np.ascontiguousarray(pi, np.int32)
+    band_col = np.ascontiguousarray(band_col, np.int32)
+    pj = np.ascontiguousarray(pj, np.int32)
+    dx = np.ascontiguousarray(dx, np.float32)
+    d2 = np.ascontiguousarray(d2, np.float32)
+    v = np.ascontiguousarray(v, np.float64)
+    cc = (d + 1) * p
+    out = np.empty((nrows, 3 * p, cc), np.uint16)
+    gs = np.zeros((nrows, cc), np.float32)
+    lib.sphgrid_fill_band_bf16(
+        _iptr(pi), _iptr(band_col), len(pi), _fptr(dx), _fptr(d2),
+        _iptr(pj), v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(h), d, p, nrows,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), _fptr(gs),
+    )
+    return out.view(ml_dtypes.bfloat16), gs
 
 
 def accum_table(

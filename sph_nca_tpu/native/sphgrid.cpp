@@ -299,6 +299,94 @@ int64_t sphgrid_true_pairs(const double* x, int64_t n, int d, double h,
   return e;
 }
 
+// Per-pair band-window column (ops/bands.py slot logic): slot 1 = same
+// block, 2 = next (mod nb), 0 = previous (mod nb), column = slot*P +
+// pj%P; -1 for curve-far pairs. Replaces six E-length numpy int
+// temporaries on the churn-sensitive host.
+void sphgrid_band_cols(const int32_t* __restrict pi,
+                       const int32_t* __restrict pj, int64_t e, int64_t P,
+                       int64_t nb, int32_t* __restrict band_col) {
+  for (int64_t k = 0; k < e; ++k) {
+    const int64_t bi = pi[k] / P, bj = pj[k] / P;
+    const int64_t dbf = ((bj - bi) % nb + nb) % nb;
+    int64_t slot;
+    if (dbf == 0)
+      slot = 1;
+    else if (dbf == 1)
+      slot = 2;
+    else if (dbf == nb - 1)
+      slot = 0;
+    else {
+      band_col[k] = -1;
+      continue;
+    }
+    band_col[k] = (int32_t)(slot * P + pj[k] % P);
+  }
+}
+
+// Band-table fill + bf16 quantize + quantized row sums, driven directly
+// by the pair arrays: rows/ri derive from pi (sorted), cols from
+// band_col (negative = far pair, skipped). No selection arrays at all.
+void sphgrid_fill_band_bf16(const int32_t* __restrict pi,
+                            const int32_t* __restrict band_col,
+                            int64_t e, const float* __restrict dx,
+                            const float* __restrict d2,
+                            const int32_t* __restrict pj,
+                            const double* __restrict v, double h, int d,
+                            int64_t P, int64_t nrows, uint16_t* __restrict out,
+                            float* __restrict gs) {
+  const int64_t cc = (d + 1) * P;
+  const int64_t wcols = 3 * P;
+  const int64_t row_elems = wcols * cc;
+  const double h2 = h * h;
+  int64_t chunk = ((int64_t)256 << 20) / (4 * row_elems);
+  if (chunk < 1) chunk = 1;
+  std::vector<float> scratch;
+  int64_t k = 0;
+  for (int64_t r0 = 0; r0 < nrows; r0 += chunk) {
+    const int64_t r1 = std::min(r0 + chunk, nrows);
+    scratch.assign((r1 - r0) * row_elems, 0.f);
+    for (; k < e && pi[k] / P < r1; ++k) {
+      const int32_t col = band_col[k];
+      if (col < 0) continue;  // far pair
+      const double dd = (double)d2[k];
+      const double vj = v[pj[k]];
+      const double w6 = (h2 - dd) * (h2 - dd) * (h2 - dd);
+      double mag = 0.0;
+      if (dd > 0.0) {
+        const double dist = std::sqrt(dd);
+        mag = 3.0 * (h - dist) * (h - dist) / dist;
+      }
+      float* base = scratch.data() +
+                    ((int64_t)(pi[k] / P - r0) * wcols + col) * cc +
+                    pi[k] % P;
+      for (int c = 0; c < d; ++c)
+        base[c * P] += (float)(mag * dx[k * d + c] * vj);
+      base[d * P] += (float)(w6 * vj);
+    }
+    const uint32_t* __restrict su = (const uint32_t*)scratch.data();
+    uint16_t* __restrict du = out + r0 * row_elems;
+    const int64_t total = (r1 - r0) * row_elems;
+    for (int64_t t = 0; t < total; ++t) {
+      const uint32_t u = su[t];
+      du[t] = (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+    }
+    for (int64_t r = r0; r < r1; ++r) {
+      const uint16_t* __restrict dr = out + r * row_elems;
+      float* __restrict gr = gs + r * cc;
+      for (int64_t w = 0; w < wcols; ++w) {
+        const uint16_t* __restrict dw = dr + w * cc;
+        for (int64_t c = 0; c < cc; ++c) {
+          const uint32_t back = (uint32_t)dw[c] << 16;
+          float f;
+          std::memcpy(&f, &back, 4);
+          gr[c] += f;
+        }
+      }
+    }
+  }
+}
+
 // Accumulate pair weights into a zeroed f32 table
 // tab [nrows, wcols, (d+1)*P]: per pair k, component c < d adds
 // mdv[k, c] at column c*P + ri[k], and w6v[k] at column d*P + ri[k]

@@ -711,23 +711,26 @@ def build_band_engine(
     pi = np.asarray(pi, np.int32)
     pj = np.asarray(pj, np.int32)
     bi = pi // P
-    bj = pj // P
-    # band slot: 1 = same block, 2 = next (mod nb), 0 = previous (mod nb)
-    dbf = (bj - bi) % np.int32(nb)
-    dbb = (bi - bj) % np.int32(nb)
-    slot = np.full(len(pi), -1, np.int32)
-    slot[dbf == 0] = 1
-    nxt = (slot < 0) & (dbf == 1)
-    slot[nxt] = 2
-    prv = (slot < 0) & (dbb == 1)
-    slot[prv] = 0
-    in_band = slot >= 0
-
     CC = (d + 1) * P  # table columns: D md components + w6v, P rows each
     ri = pi % P
-    rj = pj % P
-
     pairs = (pi, pj, dx, d2)
+
+    # band classification in C++ when available (six E-length int
+    # temporaries otherwise); band_col < 0 marks far pairs
+    band_col = _native.band_cols(pi, pj, P, nb)
+    if band_col is None:
+        bj = pj // P
+        # band slot: 1 = same block, 2 = next (mod nb), 0 = prev (mod nb)
+        dbf = (bj - bi) % np.int32(nb)
+        dbb = (bi - bj) % np.int32(nb)
+        slot = np.full(len(pi), -1, np.int32)
+        slot[dbf == 0] = 1
+        slot[(slot < 0) & (dbf == 1)] = 2
+        slot[(slot < 0) & (dbb == 1)] = 0
+        band_col = np.where(
+            slot >= 0, slot * P + pj % P, -1
+        ).astype(np.int32)
+    in_band = band_col >= 0
 
     def fill_table(psel, cols_sel, rows_sel, nrows, wcols):
         """Table for the selected pairs (psel indexes the pair arrays;
@@ -756,9 +759,18 @@ def build_band_engine(
         tab = np.bincount(idx, weights=w, minlength=nrows * wcols * CC)
         return tab.reshape(nrows, wcols, CC).astype(np.float32), None
 
-    band_col = slot * P + rj
-    bsel = np.flatnonzero(in_band)
-    Tband, gs_band = fill_table(bsel, band_col[bsel], bi[bsel], nb, 3 * P)
+    if fused:
+        # selection-free band fill: rows/ri derive from pi in C++, far
+        # pairs skip on band_col < 0 (no flatnonzero / fancy copies —
+        # ~0.8 GB of temporaries at 1M points)
+        Tband, gs_band = _native.fill_band_bf16(
+            pi, band_col, pairs, v, float(h), nb, P
+        )
+    else:
+        bsel = np.flatnonzero(in_band)
+        Tband, gs_band = fill_table(
+            bsel, band_col[bsel], bi[bsel], nb, 3 * P
+        )
 
     _tick("band table")
     # ---- far structure ---------------------------------------------------
@@ -776,8 +788,18 @@ def build_band_engine(
     cuts = _bucket_cuts(grp_count, far_buckets)
     far_blocks, far_groups_l, far_tabs, far_gs = [], [], [], []
     order_rows = []  # bucket-concat row order (block ids)
+    # bucket id per group-entry and per far PAIR, computed ONCE (the
+    # per-bucket `grp_count[bi]` gathers were 16 x 244 MB of temporaries
+    # at 1M points); bucket t covers widths (cuts[t-1], cuts[t]]
+    cuts_arr = np.asarray(cuts, np.int64)
+    gc32 = grp_count.astype(np.int32)
+    ub_bucket = np.searchsorted(cuts_arr, gc32[ub])
+    pair_bucket = np.where(
+        far, np.searchsorted(cuts_arr, gc32[bi]).astype(np.int8),
+        np.int8(-1),
+    )
     lo = 0
-    for wmax in cuts:
+    for t_idx, wmax in enumerate(cuts):
         lo0 = lo
         blks = np.where((grp_count > lo) & (grp_count <= wmax))[0]
         lo = wmax
@@ -788,9 +810,7 @@ def build_band_engine(
         row_of = np.full(nb, -1, np.int64)
         row_of[blks] = np.arange(len(blks))
         # this bucket's (block, group) entries — ubg is sorted, block-major
-        # (bucket membership is a width-threshold test, not an isin —
-        # np.isin here profiled 5.8 s of the 100k build)
-        selb = (grp_count[ub] > lo0) & (grp_count[ub] <= wmax)
+        selb = ub_bucket == t_idx
         bsel, gsel = ub[selb], ug[selb]
         cnts = np.bincount(row_of[bsel], minlength=len(blks))
         startp = np.concatenate([[0], np.cumsum(cnts)[:-1]])
@@ -800,9 +820,7 @@ def build_band_engine(
         far_groups_l.append(grp_list.astype(np.int32))
         # pair columns: (position of the pair's group in grp_list) * g + rj%g
         keys_bg = bsel * Rg + gsel  # sorted ascending (subset of ubg)
-        psel = np.flatnonzero(
-            far & (grp_count[bi] > lo0) & (grp_count[bi] <= wmax)
-        )
+        psel = np.flatnonzero(pair_bucket == t_idx)
         ppos = np.searchsorted(
             keys_bg, bi[psel].astype(np.int64) * Rg + pj[psel] // g
         )
