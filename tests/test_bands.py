@@ -306,3 +306,62 @@ def test_bucket_cuts_dp_optimal():
             lo = c
         return tot
     assert area(cuts) <= min(area([5, 20]), area([9, 20]), area([3, 20]))
+
+
+def test_fire_mask_marginal_rate_across_engines(rng):
+    """VERDICT r2 weak 6: the cell/band layouts draw the fire mask from
+    a per-(slot, sample) stream rather than the graph path's
+    per-particle stream — same Bernoulli(fire_rate) LAW, different
+    stream. Check the law itself: across many step keys, the fraction
+    of particles updated in one step matches fire_rate on BOTH engines
+    (binomial 4-sigma bound), and the per-particle update rate is
+    uniform (no slot-position bias)."""
+    from sph_nca_tpu.models import nca_step
+    from sph_nca_tpu.ops import (
+        build_graph,
+        default_dims,
+        suggest_capacity,
+    )
+
+    x = jnp.asarray(rng.uniform(-1, 1, (N, 3)).astype(np.float32))
+    eng = build_band_engine(x, H, block_rows=16)
+    cfg = SPHNCAConfig(
+        channels=F, hidden=16, normalize_perception=1.0 / H,
+        use_alpha=False, fire_rate=0.5,
+    )
+    from sph_nca_tpu.models import init_params
+
+    params = init_params(jax.random.key(0), cfg)
+    A = jnp.asarray(rng.normal(size=(1, N, F)).astype(np.float32))
+    SB = batched_scatter(eng, A)
+
+    dims = default_dims(H)
+    mpc, k = suggest_capacity(np.asarray(x), H, dims)
+    g = build_graph(x, H, dims, max_per_cell=mpc, k=k)
+
+    trials = 40
+    rates = {"band": [], "graph": []}
+    per_particle = {"band": np.zeros(N), "graph": np.zeros(N)}
+    for t in range(trials):
+        key = jax.random.key(100 + t)
+        nb_ = nca_step_cells_batched(params, cfg, eng, SB, 1, key, H)
+        ob = np.asarray(batched_gather_back(eng, nb_, 1))[0]
+        changed_b = np.any(ob != np.asarray(A[0]), axis=-1)
+        og = np.asarray(nca_step(params, cfg, g, A[0], key, H))
+        changed_g = np.any(og != np.asarray(A[0]), axis=-1)
+        rates["band"].append(changed_b.mean())
+        rates["graph"].append(changed_g.mean())
+        per_particle["band"] += changed_b
+        per_particle["graph"] += changed_g
+    # marginal rate: binomial(N*trials, 0.5) 4-sigma bound
+    sig = 0.5 / np.sqrt(N * trials)
+    for name in ("band", "graph"):
+        assert abs(np.mean(rates[name]) - 0.5) < 4 * sig, (
+            name, np.mean(rates[name]))
+    # per-particle rate uniform: every particle fires 0.5 +- 4 sigma
+    sig_p = 0.5 / np.sqrt(trials)
+    for name in ("band", "graph"):
+        pp = per_particle[name] / trials
+        assert np.abs(pp - 0.5).max() < 4.5 * sig_p, name
+    # and the two engines' mean rates agree within joint noise
+    assert abs(np.mean(rates["band"]) - np.mean(rates["graph"])) < 8 * sig
