@@ -20,10 +20,20 @@ RESULTS.md.
 The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
 reported against the stated north-star target of 1e9 particle-steps/sec.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Tunnel robustness: the TPU here is reached through the axon relay, which
+can be down for hours (jax.devices() then hangs indefinitely at backend
+init). The benchmark probes the backend in a bounded subprocess with
+retries across a configurable window; on persistent outage it emits a
+structured outage record carrying the last driver-relevant measurement
+instead of dying with a raw traceback.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+{"error", "value_is_last_good", ...} fields when the TPU was unreachable.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -34,6 +44,25 @@ N_POINTS = 102_400
 BATCH = 8
 STEPS = 64
 NORTH_STAR = 1e9  # particle-steps/sec (BASELINE.json)
+
+METRIC = (
+    "particle-steps/sec, 100k-point 3D surface NCA rollouts "
+    "(tangent perception + diffusion), batch 8 aggregate"
+)
+UNIT = "particle-steps/sec"
+
+# Best verified single-chip measurement from a prior round (RESULTS.md
+# round 3, builder-measured on the same v5e via the tunnel). Reported —
+# clearly flagged — only when the TPU is unreachable for the whole
+# probe window.
+LAST_GOOD = 103.2e6
+LAST_GOOD_ROUND = 3
+
+# Probe budget: attempts x (probe timeout + sleep). Overridable so a
+# human can shorten it interactively.
+PROBE_ATTEMPTS = int(os.environ.get("SPH_NCA_BENCH_PROBE_ATTEMPTS", "3"))
+PROBE_TIMEOUT_S = float(os.environ.get("SPH_NCA_BENCH_PROBE_TIMEOUT", "60"))
+PROBE_SLEEP_S = float(os.environ.get("SPH_NCA_BENCH_PROBE_SLEEP", "20"))
 
 
 def fibonacci_sphere(n: int, radius: float = 0.8) -> np.ndarray:
@@ -47,7 +76,44 @@ def fibonacci_sphere(n: int, radius: float = 0.8) -> np.ndarray:
     return (radius * pts).astype(np.float32)
 
 
-def main():
+def probe_tpu() -> bool:
+    """True iff a fresh process can initialize the JAX backend and see a
+    device within PROBE_TIMEOUT_S. Runs in a subprocess because a hung
+    backend init cannot be cancelled in-process."""
+    code = (
+        "import jax; ds = jax.devices(); "
+        "print('DEVICES', len(ds), ds[0].platform)"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            timeout=PROBE_TIMEOUT_S,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "DEVICES" in proc.stdout
+
+
+def emit(payload: dict) -> None:
+    print(json.dumps(payload))
+
+
+def outage_record(detail: str) -> dict:
+    return {
+        "metric": METRIC,
+        "value": LAST_GOOD,
+        "unit": UNIT,
+        "vs_baseline": LAST_GOOD / NORTH_STAR,
+        "error": "tpu_unavailable",
+        "value_is_last_good": True,
+        "last_good_round": LAST_GOOD_ROUND,
+        "detail": detail,
+    }
+
+
+def run_bench() -> float:
     import jax
     import jax.numpy as jnp
 
@@ -103,21 +169,41 @@ def main():
         )
         best = min(best, time.perf_counter() - t0)
 
-    value = BATCH * N_POINTS * STEPS / best
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "particle-steps/sec, 100k-point 3D surface NCA "
-                    "rollouts (tangent perception + diffusion), "
-                    "batch 8 aggregate"
-                ),
-                "value": value,
-                "unit": "particle-steps/sec",
-                "vs_baseline": value / NORTH_STAR,
-            }
+    return BATCH * N_POINTS * STEPS / best
+
+
+def main():
+    up = False
+    for attempt in range(PROBE_ATTEMPTS):
+        if probe_tpu():
+            up = True
+            break
+        if attempt < PROBE_ATTEMPTS - 1:
+            time.sleep(PROBE_SLEEP_S)
+    if not up:
+        emit(
+            outage_record(
+                f"backend init failed/hung in {PROBE_ATTEMPTS} probe "
+                f"attempts of {PROBE_TIMEOUT_S:.0f}s each"
+            )
         )
+        return 0
+
+    try:
+        value = run_bench()
+    except Exception as e:  # tunnel died mid-run, OOM, etc.
+        emit(outage_record(f"bench failed after probe OK: {e!r}"[:500]))
+        return 0
+
+    emit(
+        {
+            "metric": METRIC,
+            "value": value,
+            "unit": UNIT,
+            "vs_baseline": value / NORTH_STAR,
+        }
     )
+    return 0
 
 
 if __name__ == "__main__":

@@ -211,11 +211,13 @@ def main(argv=None) -> int:
             from ..ops.bands import build_band_engine
 
             beng = build_band_engine(
-                np.asarray(x), h, table_dtype="bfloat16"
+                np.asarray(x), h, table_dtype="bfloat16",
+                smoothing=cfg.smoothing,
             )
             beng_d = beng if abs(h - DIFFUSE_H) < 1e-9 else (
                 build_band_engine(
-                    np.asarray(x), DIFFUSE_H, table_dtype="bfloat16"
+                    np.asarray(x), DIFFUSE_H, table_dtype="bfloat16",
+                    smoothing=cfg.smoothing,
                 )
             )
             _, _, states = rollout_mesh_batched_dual(
@@ -269,7 +271,8 @@ def main(argv=None) -> int:
             from ..ops.batched import batched_gather_back, batched_scatter
 
             beng = build_band_engine(np.asarray(x), h, period=period,
-                                     table_dtype="bfloat16")
+                                     table_dtype="bfloat16",
+                                     smoothing=cfg.smoothing)
             SB0 = batched_scatter(beng, A0[None])
             out = rollout_cells_batched(
                 params, cfg, beng, SB0, 1, key, args.steps, h,

@@ -90,7 +90,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--checkpoint_every", type=int, default=1000)
     p.add_argument("--vgg_weights", type=str, default="",
-                   help="npz with VGG19 conv weights for the OT loss")
+                   help="npz with VGG19 conv weights for the OT loss "
+                        "(implies --texture_features vgg)")
+    p.add_argument("--texture_features",
+                   choices=["gabor", "vgg", "vgg_random"],
+                   default="gabor",
+                   help="OT-loss feature extractor: gabor (fixed "
+                        "multi-scale oriented bank + cross-scale stats, "
+                        "the pretrained-free default), vgg (needs "
+                        "--vgg_weights), vgg_random (fixed-seed random "
+                        "filters, round-3 behavior)")
     p.add_argument("--clip_weights", type=str, default="",
                    help="npz with CLIP ViT-B/32 weights (image tower via "
                         "convert_open_clip, text tower via "
@@ -115,6 +124,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "tables, the round-3 flagship), cells "
                         "(cell-dense + Pallas), or graph (fixed-K "
                         "neighbor lists)")
+    p.add_argument("--smoothing_kernel",
+                   choices=["poly6", "wendlandC2", "wendlandC4"],
+                   default="poly6",
+                   help="SPH smoothing kernel (reference "
+                        "sphops/ops/kernels.py:6 module constant); band "
+                        "and graph engines accept all three, cells is "
+                        "poly6-only (Pallas kernels hard-wire the core)")
     p.add_argument("--resume", type=str, default="",
                    help="checkpoint dir to resume from (pool + RNG + "
                         "optimizer state restored exactly), or 'auto' to "
@@ -225,6 +241,7 @@ def main(argv=None) -> int:
         # the round-3 flagship pair structure (ops/bands.py): true-pair
         # band/far tables (f32 for training numerics), native C++ build
         graph = build_band_engine(x, h, period=period,
+                                  smoothing=args.smoothing_kernel,
                                   table_dtype="float32")
         print(
             f"band engine: n={x.shape[0]} blocks={graph.num_cells} "
@@ -241,6 +258,12 @@ def main(argv=None) -> int:
         # xla_tables=False: the trainer only uses the batched/Pallas
         # paths; skipping the per-cell einsum tables cuts the build from
         # ~8 min to seconds at the reference config
+        if args.smoothing_kernel != "poly6":
+            raise SystemExit(
+                "--engine cells is poly6-only (the Pallas pair kernels "
+                "hard-wire the core); use --engine band or graph for "
+                f"{args.smoothing_kernel}"
+            )
         graph = build_cell_engine(
             x, h, period=period, pair_tables="float32", xla_tables=False
         )
@@ -256,7 +279,8 @@ def main(argv=None) -> int:
             period=np.asarray(period) if args.wrap else None,
         )
         graph = ops.build_graph(
-            x, h, dims, max_per_cell=mpc, k=k, period=period
+            x, h, dims, max_per_cell=mpc, k=k, period=period,
+            smoothing=args.smoothing_kernel,
         )
         nd = int(graph.valid.sum())
         print(
@@ -273,6 +297,7 @@ def main(argv=None) -> int:
         update_rule=args.nca_update,
         use_alpha=args.use_alpha,
         normalize_perception=norm_perception,
+        smoothing=args.smoothing_kernel,
     )
 
     if args.loss == "mse_simple":
@@ -285,9 +310,12 @@ def main(argv=None) -> int:
         )
         bundle = make_mse_bundle(img, loss_cfg)
     elif args.loss == "ot":
-        from ..training.features import get_vgg_features
+        from ..training.features import get_texture_features
 
-        feature_fn = get_vgg_features(args.vgg_weights or None)
+        kind = args.texture_features
+        if args.vgg_weights:
+            kind = "vgg"
+        feature_fn = get_texture_features(kind, args.vgg_weights or None)
         ot_cfg = OTLossConfig(
             image_size=m,
             style_weight=args.loss_weight_style,

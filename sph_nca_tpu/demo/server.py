@@ -45,13 +45,15 @@ class DemoState:
             pattern=getattr(args, "pattern", "square"),
             jitter=args.jitter,
             spatial_jitter=bool(getattr(args, "spatial_jitter", False)),
+            color_mode=getattr(args, "color_mode", "rgba"),
         )
         self._build()
 
     def reconfigure(self, **kw):
         """Rebuild the engine with changed settings (reference UI's
         weights/resolution/pattern/noise selectors)."""
-        allowed = {"weights", "size", "pattern", "jitter", "spatial_jitter"}
+        allowed = {"weights", "size", "pattern", "jitter",
+                   "spatial_jitter", "color_mode"}
         with self.lock:
             for k, v in kw.items():
                 if k in allowed and v is not None:
@@ -59,7 +61,11 @@ class DemoState:
                         v = max(16, min(256, int(v)))
                     if k == "jitter":
                         v = max(0.0, min(1.0, float(v)))
+                    if k == "color_mode" and v not in ("rgba", "activity"):
+                        raise ValueError(f"unknown color_mode {v!r}")
                     self.current[k] = v
+        if set(kw) == {"color_mode"}:
+            return  # render-only setting: no engine rebuild
         self._build()
 
     def _build(self):
@@ -154,6 +160,13 @@ class DemoState:
         with self.lock:
             rgba = self.engine.rgba(self.A)
         rgba = np.clip(rgba, 0.0, 1.0)
+        if self.current.get("color_mode") == "activity":
+            # grayscale of the activity channel (reference main.js:593)
+            act = rgba[:, 3:4] if self.mode == "image" else \
+                np.ones_like(rgba[:, :1])
+            rgba = np.concatenate(
+                [act, act, act, np.ones_like(act)], axis=-1
+            )
         if rgba.shape[0] == self.size * self.size:
             img = rgba.reshape(self.size, self.size, 4)
         else:
@@ -242,6 +255,37 @@ def make_handler(state: DemoState):
     return Handler
 
 
+def record(state: DemoState, path: str, steps: int, frames: int) -> None:
+    """Headless recording: step the engine and write a horizontal PNG
+    strip of evenly-spaced frames (the demo's auditable-without-a-
+    browser mode; the frames pass through the same frame() renderer the
+    canvas UI streams)."""
+    from ..utils.image import save_frame_png
+
+    at = set(
+        int(round(i * steps / max(1, frames - 1)))
+        for i in range(frames)
+    )
+    panels = []
+
+    def grab():
+        raw = np.frombuffer(state.frame(), np.uint8)
+        panels.append(
+            raw.reshape(state.size, state.size, 4).astype(np.float32)
+            / 255.0
+        )
+
+    if 0 in at:
+        grab()
+    for t in range(1, steps + 1):
+        state.step()
+        if t in at:
+            grab()
+    strip = np.concatenate(panels, axis=1)
+    save_frame_png(path, strip)
+    print(f"recorded {len(panels)} frames x {steps} steps -> {path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--weights_json", required=True)
@@ -257,9 +301,24 @@ def main(argv=None):
              "(reference spatiallyVaryingNoise)",
     )
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument(
+        "--color_mode", choices=["rgba", "activity"], default="rgba",
+        help="render mode (reference main.js colorMode)",
+    )
+    p.add_argument(
+        "--record", type=str, default="",
+        help="headless mode: run --record_steps steps and write a PNG "
+             "strip of --record_frames evenly-spaced frames to this "
+             "path, then exit (no browser needed — auditable demo)",
+    )
+    p.add_argument("--record_steps", type=int, default=96)
+    p.add_argument("--record_frames", type=int, default=6)
     args = p.parse_args(argv)
 
     state = DemoState(args)
+    if args.record:
+        record(state, args.record, args.record_steps, args.record_frames)
+        return
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(state))
     print(f"demo at http://127.0.0.1:{args.port}/ "
           f"({state.mode} mode, {state.size}x{state.size})")

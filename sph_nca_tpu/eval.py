@@ -136,7 +136,8 @@ def rollout_on_points(
     x = jnp.pad(x2, ((0, 0), (0, 1))) if use_3d else x2
     # the flagship band engine (f32 tables: evaluation numerics)
     eng = build_band_engine(
-        np.asarray(x), h, period=period, table_dtype="float32"
+        np.asarray(x), h, period=period, table_dtype="float32",
+        smoothing=getattr(cfg, "smoothing", "poly6"),
     )
     key, ks = jax.random.split(key)
     A0 = plane_seed(

@@ -413,8 +413,10 @@ def _update_core(
     u = jax.random.uniform(key, (rows, b))
     fire = expand_lanes(
         (u <= fire_rate).astype(nS.dtype), f
-    )  # [rows, B*F] in {0, 1}
-    return SB2 + fire * (nS - SB2)
+    )  # [rows, B*F] in {0, 1} (exact: one-hot matmul of exact 0/1)
+    # select, not lerp: SB2 + 1*(nS - SB2) can differ from nS by 1 ulp
+    # vs the reference's torch.where (drift compounds in long rollouts)
+    return jnp.where(fire > 0.5, nS, SB2)
 
 
 def rollout_cells_batched(

@@ -51,6 +51,11 @@ class SPHNCAConfig:
     # k in gA <- h * gA * k; <= 0 disables. The reference trains with
     # k = 1/h_train (train.py:106-108) making perception scale-free.
     normalize_perception: float = -1.0
+    # SPH smoothing kernel name (reference sphops/ops/kernels.py:6
+    # module constant). Engines bake the kernel into their pair weights
+    # at build time; this field makes the choice travel with the
+    # checkpoint so test/eval rebuild matching engines.
+    smoothing: str = "poly6"
 
     @property
     def in_features(self) -> int:

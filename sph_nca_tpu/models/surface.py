@@ -147,10 +147,12 @@ def diffuse_cells(
     *,
     lerp_multiplier: float = 1.0,
     w_multiplier: float = 1.0,
-    use_alpha: bool = True,
     shards: int = 1,
 ) -> Array:
-    """Tangent diffusion in cell layout (reference nca.py:312-323): the
+    """Tangent diffusion in cell layout (reference nca.py:312-323;
+    weights are ALWAYS the alpha lane — the reference's diffuse() reads
+    cell_activity at its default use_alpha=True regardless of the
+    model's USE_ALPHA flag): the
     blur runs as one poly6 table matmul (blur_cells_pallas) at the
     ENGINE's h — the reference hard-codes its diffusion radius to 0.1,
     which equals the trained model's h in every shipped config, so a
@@ -158,7 +160,7 @@ def diffuse_cells(
     from ..ops.pallas.pair_kernel import blur_cells_pallas
     from .cell_step import cell_activity_s
 
-    w = jnp.clip(cell_activity_s(S, use_alpha)[..., None], 0.0, 1.0)
+    w = jnp.clip(cell_activity_s(S, True)[..., None], 0.0, 1.0)
     m = (1.0 - w_multiplier) + w * w_multiplier
     mt = jnp.concatenate([m, m * t], axis=-1)  # [C, M, 4]
     mt2 = blur_cells_pallas(eng, mt, shards)
@@ -213,7 +215,7 @@ def rollout_mesh_cells(
             diffuse_cells(
                 eng, nc, t, nS,
                 lerp_multiplier=lerp_multiplier, w_multiplier=w_multiplier,
-                use_alpha=cfg.use_alpha, shards=shards,
+                shards=shards,
             )
         )
         out = eng.gather_back(nS) if collect_all else None
@@ -282,7 +284,6 @@ def diffuse_batched(
     *,
     lerp_multiplier: float = 1.0,
     w_multiplier: float = 1.0,
-    use_alpha: bool = True,
     nd: Optional[tuple] = None,  # precomputed normal_components(nc)
 ) -> Array:
     """Batched tangent diffusion (reference nca.py:312-323) through the
@@ -299,7 +300,6 @@ def diffuse_batched(
         eng, nd, td, SB, b,
         lerp_multiplier=lerp_multiplier,
         w_multiplier=w_multiplier,
-        use_alpha=use_alpha,
     )
     return jnp.concatenate(out, axis=-1).reshape(C, M, 3 * b)
 
@@ -313,7 +313,6 @@ def _diffuse_td(
     *,
     lerp_multiplier: float = 1.0,
     w_multiplier: float = 1.0,
-    use_alpha: bool = True,
 ) -> tuple:
     """Component-tuple core of diffuse_batched. Tangents stay as three
     [rows, B] arrays end-to-end — packing them into one [C, M, 3B]
@@ -323,34 +322,24 @@ def _diffuse_td(
 
     C, M = SB.shape[0], SB.shape[1]
     rows = C * M
-    f = SB.shape[-1] // b
-    if use_alpha:
-        from ..ops.bands import _take_lanes
-
-        alpha = _take_lanes(
-            SB.reshape(rows, b * f), jnp.arange(b) * f + 3, b
-        )
-    else:
-        alpha = jnp.ones((rows, b), SB.dtype)
-    w = _diffuse_weights(SB, b, use_alpha)
+    w = _diffuse_weights(SB, b)
     mt = _diffuse_mt(w, td, b, w_multiplier)
     mt2 = blur_batched(eng, mt.reshape(C, M, 4 * b), b).reshape(rows, 4 * b)
     return _diffuse_combine(mt2, w, td, nd, b, lerp_multiplier)
 
 
-def _diffuse_weights(SB: Array, b: int, use_alpha: bool) -> Array:
-    """w = clip(activity, 0, 1) per (row, sample) — [rows, B]
-    (reference nca.py:313)."""
+def _diffuse_weights(SB: Array, b: int) -> Array:
+    """w = clip(alpha, 0, 1) per (row, sample) — [rows, B].
+
+    Always the alpha lane: the reference's diffuse() reads
+    cell_activity(A) at its DEFAULT use_alpha=True (nca.py:312-314)
+    regardless of the model's own USE_ALPHA flag, so tangent diffusion
+    is alpha-weighted even for use_alpha=False models."""
+    from ..ops.bands import _take_lanes
+
     rows = SB.shape[0] * SB.shape[1]
     f = SB.shape[-1] // b
-    if use_alpha:
-        from ..ops.bands import _take_lanes
-
-        alpha = _take_lanes(
-            SB.reshape(rows, b * f), jnp.arange(b) * f + 3, b
-        )
-    else:
-        alpha = jnp.ones((rows, b), SB.dtype)
+    alpha = _take_lanes(SB.reshape(rows, b * f), jnp.arange(b) * f + 3, b)
     return jnp.clip(alpha, 0.0, 1.0)
 
 
@@ -493,9 +482,7 @@ def rollout_mesh_batched(
         SB, td = carry
         # diffusion blur inputs from the CURRENT state + carried tangent
         # (detached, reference nca.py:357)
-        w = jax.lax.stop_gradient(
-            _diffuse_weights(SB, b, cfg.use_alpha)
-        )
+        w = jax.lax.stop_gradient(_diffuse_weights(SB, b))
         mt = _diffuse_mt(w, tuple(jax.lax.stop_gradient(t) for t in td),
                          b, w_multiplier)
 
@@ -523,12 +510,12 @@ def rollout_mesh_batched(
     )
     return _finish_mesh_batched(
         eng, final_S, td_prev, nd, b,
-        lerp_multiplier, w_multiplier, cfg.use_alpha,
+        lerp_multiplier, w_multiplier,
     )
 
 
 def _finish_mesh_batched(eng, final_S, td_prev, nd, b,
-                         lerp_multiplier, w_multiplier, use_alpha):
+                         lerp_multiplier, w_multiplier):
     """Shared tail: the reference's step K ends with
     T_K = diffuse(A_K, T_{K-1}); gather back to particle order."""
     from ..ops.batched import batched_gather_back
@@ -541,7 +528,6 @@ def _finish_mesh_batched(eng, final_S, td_prev, nd, b,
             eng, nd, td_prev, final_S, b,
             lerp_multiplier=lerp_multiplier,
             w_multiplier=w_multiplier,
-            use_alpha=use_alpha,
         )
     )
     ft = jnp.stack(final_td, axis=-1)  # [rows, B, 3]
@@ -622,7 +608,7 @@ def rollout_mesh_batched_dual(
             fire_rate=fire_rate, mlp_dtype=mlp_dtype,
             perception_transform=lambda ga: _project_td(ga, nd, td, b),
         )
-        w = _diffuse_weights(nSB, b, cfg.use_alpha)
+        w = _diffuse_weights(nSB, b)
         mt = _diffuse_mt(w, td, b, w_multiplier)
         mt_d = to_diff(mt)
         mt2 = blur_batched(

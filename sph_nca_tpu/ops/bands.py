@@ -580,6 +580,22 @@ def _bucket_cuts(widths: np.ndarray, k: int) -> list:
     return cuts[::-1]
 
 
+def _smoothing_core_np(name: str, d2: np.ndarray, h: float) -> np.ndarray:
+    """Unnormalized smoothing kernel W(d2, h) in host numpy (the build
+    runs on the host; the jnp twins in ops.kernels would bounce the
+    pair arrays through the device). Matches kernels.py exactly —
+    poly6 (kernels_impl.py:33-40), WendlandC2 (:68-77), C4 (:105-115).
+    Pairs are within h by construction, so no q >= 1 guard is needed."""
+    if name == "poly6":
+        return np.maximum(h * h - d2, 0.0) ** 3
+    q = np.sqrt(d2) / h
+    if name == "wendlandC2":
+        return (1.0 - q) ** 4 * (4.0 * q + 1.0)
+    if name == "wendlandC4":
+        return (1.0 - q) ** 6 * (35.0 * q * q + 18.0 * q + 3.0) / 3.0
+    raise ValueError(f"unknown smoothing kernel {name!r}")
+
+
 def build_band_engine(
     x,
     h: float,
@@ -610,11 +626,11 @@ def build_band_engine(
     from the quantized tables so a constant field still has zero
     gradient up to accumulation noise).
     """
-    if smoothing != "poly6" or gradient_kernel != "spiky":
-        raise NotImplementedError(
-            f"BandEngine implements poly6/spiky only (got {smoothing!r}/"
-            f"{gradient_kernel!r}); use ops.build_graph for other kernels"
-        )
+    # validates the names (raises on unknown kernels); the tables are
+    # weight-agnostic, so every registered smoothing kernel bakes in —
+    # poly6 additionally rides the fused native fill below
+    K.get_smoothing_kernel(smoothing)
+    K.get_gradient_kernel(gradient_kernel)
     import os as _os
     import time as _time
 
@@ -682,25 +698,36 @@ def build_band_engine(
     sig_w = float(K.get_smoothing_kernel(smoothing).norm(h, d))
     sig_g = float(K.get_gradient_kernel(gradient_kernel).norm(h, d))
     h2 = float(h) * float(h)
-    if w6sum is not None:
+    if smoothing == "poly6" and w6sum is not None:
+        # native scan accumulated the poly6 sums in-flight
         inv_v = sig_w * np.pad(w6sum, (0, R - n))
     else:
         inv_v = sig_w * np.bincount(
-            pi, weights=(h2 - d2) ** 3, minlength=R
+            pi, weights=_smoothing_core_np(smoothing, d2, float(h)),
+            minlength=R,
         )
     v = np.where(inv_v > 0.0, 1.0 / np.maximum(inv_v, 1e-300), 0.0)
 
     # fused native fill (bf16 tables): the pair weights are computed
     # inside sphgrid_fill_cast_bf16 from raw (dx, d2, v) — materializing
     # mdv/w6v and their per-table fancy selections in numpy profiled
-    # ~10 s of fresh-page f64 temporaries at 100k on this host
-    fused = table_dtype == "bfloat16" and _native.available()
+    # ~10 s of fresh-page f64 temporaries at 100k on this host.
+    # Gated on the native pair scan having actually succeeded (nat is not
+    # None): the numpy _true_pairs fallback orders pairs by stencil
+    # offset, violating the pi-sorted row contract of fill_band_bf16 /
+    # fill_cast_bf16 (their chunked row loops would silently skip pairs).
+    # Also poly6-only: the native fill hard-codes the poly6 core;
+    # Wendland tables take the generic (slower-build) numpy/accum path.
+    fused = (
+        table_dtype == "bfloat16" and nat is not None
+        and smoothing == "poly6"
+    )
     if not fused:
-        w6 = (h2 - d2) ** 3
+        w6 = _smoothing_core_np(smoothing, d2, float(h))
         dist = np.sqrt(np.where(d2 > 0.0, d2, 1.0))
         mag = np.where(d2 > 0.0, 3.0 * (h - dist) ** 2 / dist, 0.0)
         vj = v[pj]
-        w6v = w6 * vj  # poly6 core * source volume
+        w6v = w6 * vj  # smoothing core * source volume
         mdv = mag[:, None] * dx * vj[:, None]  # [E, D]
         del w6
 
@@ -751,7 +778,10 @@ def build_band_engine(
         )
         if tab is not None:
             return tab, None
-        base = (rows_sel * wcols + cols_sel) * CC + ri_sel
+        # int64: rows*wcols*CC overflows int32 beyond ~2.8M points
+        base = (
+            rows_sel.astype(np.int64) * wcols + cols_sel.astype(np.int64)
+        ) * CC + ri_sel
         idx = np.concatenate(
             [base + c * P for c in range(d)] + [base + d * P]
         )

@@ -61,11 +61,15 @@ class BandShards(NamedTuple):
     gsum: Array  # [k, S, P, D] f32
     vs: Array  # [k, S, P]
     export_idx: Array  # [k, E] int32 local group ids this shard exports
-    halo_src: Array  # [k, H] int32 into the [k*E] gathered buffer
+    halo_src: Array  # [k, H] int32 into the received-rows buffer
+    # ([k*E] all_gather mode / [sum Edelta] targeted mode)
     far_groups: Tuple[Array, ...]  # [k, nbt, Wt] int32, local+halo space
     far_tabs: Tuple[Array, ...]  # [k, nbt, Wt*g, CC]
     far_vwmask: Tuple[Array, ...]  # [k, nbt, Wt*g]
     far_perm: Array  # [k, S] int32 into concat(bucket outs + 1 zero row)
+    # targeted mode: per curve-distance delta, the local group ids each
+    # shard ppermutes to shard (s+delta)%k — see _halo_rows
+    send_idx: Tuple[Array, ...] = ()  # per delta: [k, Edelta] int32
 
     @property
     def k(self) -> int:
@@ -90,13 +94,22 @@ class BandShardStatic(NamedTuple):
     P: int
     sig_w: float
     sig_g: float
+    # non-empty -> targeted far exchange: one ppermute per curve
+    # distance delta instead of the global export all_gather
+    deltas: Tuple[int, ...] = ()
 
 
-def shard_band_engine(eng: BandEngine, k: int) -> Tuple[BandShards,
-                                                        BandShardStatic]:
+def shard_band_engine(
+    eng: BandEngine, k: int, *, halo: str = "targeted"
+) -> Tuple[BandShards, BandShardStatic]:
     """Partition a band engine (built with ``block_multiple=k`` so
     nb % k == 0) into k contiguous block shards + the static halo
-    exchange structure (host-side numpy)."""
+    exchange structure (host-side numpy).
+
+    ``halo``: "targeted" (default) exchanges far groups with one
+    ppermute per populated curve distance — comm proportional to the
+    boundary; "allgather" replicates every shard's exports to all k
+    shards (the round-3 exchange, kept for comparison/measurement)."""
     nb, Pr = eng.num_cells, eng.slots_per_cell
     if nb % k:
         raise ValueError(
@@ -118,63 +131,118 @@ def shard_band_engine(eng: BandEngine, k: int) -> Tuple[BandShards,
     far_vwmask = [np.asarray(m) for m in eng.far_vwmask]
 
     # ---- halo/export structure (far refs crossing shard boundaries) ---
+    # valid-entry masks: each group-list row holds its real entries in
+    # positions 0..cnt-1 with STRICTLY increasing group ids (np.unique
+    # order, bands.py grp_list fill); pad entries repeat group 0. Pads
+    # must not enter the needed/halo sets — they would drag global
+    # group 0 into every shard's all_gather for nothing.
+    valid_l = []
+    for grps in far_groups:
+        v = np.ones(grps.shape, bool)
+        if grps.shape[1] > 1:
+            v[:, 1:] = grps[:, 1:] > grps[:, :-1]
+        valid_l.append(np.logical_and.accumulate(v, axis=1))
+
     needed = [set() for _ in range(k)]
-    for blks, grps in zip(far_blocks, far_groups):
+    for blks, grps, valid in zip(far_blocks, far_groups, valid_l):
         if not len(blks):
             continue
         sh = blks // S
-        owner = grps // gps
         for s in range(k):
             sel = sh == s
             if sel.any():
-                gset = np.unique(grps[sel])
-                for gid in gset[gset // gps != s]:
-                    needed[s].add(int(gid))
+                gset = np.unique(grps[sel][valid[sel]])
+                needed[s].update(gset[gset // gps != s].tolist())
     needed = [
         np.sort(np.fromiter(ns, np.int64)) if ns else
         np.zeros(0, np.int64)
         for ns in needed
     ]
 
-    exports = []
-    for s in range(k):
-        exp = set()
-        for t in range(k):
-            if t == s:
-                continue
-            nt = needed[t]
-            exp.update(nt[nt // gps == s].tolist())
-        exports.append(np.sort(np.fromiter(exp, np.int64)) if exp
-                       else np.zeros(0, np.int64))
-    E = max(1, max(len(e) for e in exports))
     H = max(1, max(len(n) for n in needed))
-
-    export_idx = np.zeros((k, E), np.int32)
     halo_src = np.zeros((k, H), np.int32)
-    for s in range(k):
-        loc = exports[s] - s * gps
-        export_idx[s, : len(loc)] = loc
-        for j, gid in enumerate(needed[s]):
-            t = int(gid) // gps
-            pos = int(np.searchsorted(exports[t], gid))
-            halo_src[s, j] = t * E + pos
 
-    remap = []
-    for s in range(k):
-        m = {int(gid): gps + j for j, gid in enumerate(needed[s])}
-        remap.append(m)
+    if halo == "targeted":
+        # Neighbor-targeted exchange: shard s ppermutes, per curve
+        # distance delta, exactly the groups shard (s+delta)%k needs
+        # from it. Morton locality makes most far refs land at
+        # delta in {1, k-1}, so total sent rows track the BOUNDARY
+        # population instead of the all_gather's k*E replication
+        # (export fraction grew 12.8% @k=4 -> 20.4% @k=8 under the
+        # global all_gather, SCALING.md round 3).
+        send_lists = {}
+        deltas = []
+        for delta in range(1, k):
+            lists = []
+            nz = False
+            for s in range(k):
+                nt = needed[(s + delta) % k]
+                mine = nt[nt // gps == s]
+                lists.append(mine)
+                nz = nz or len(mine) > 0
+            if nz:
+                deltas.append(delta)
+                send_lists[delta] = lists
+        offsets = {}
+        off = 0
+        for dlt in deltas:
+            offsets[dlt] = off
+            off += max(len(l) for l in send_lists[dlt])
+        send_idx = []
+        for dlt in deltas:
+            Ed = max(len(l) for l in send_lists[dlt])
+            arr = np.zeros((k, Ed), np.int32)
+            for s in range(k):
+                loc = send_lists[dlt][s] - s * gps
+                arr[s, : len(loc)] = loc
+            send_idx.append(arr)
+        for s in range(k):
+            for j, gid in enumerate(needed[s]):
+                t = int(gid) // gps
+                dlt = (s - t) % k
+                pos = offsets[dlt] + int(
+                    np.searchsorted(send_lists[dlt][t], gid)
+                )
+                halo_src[s, j] = pos
+        export_idx = np.zeros((k, 1), np.int32)  # unused in this mode
+        deltas = tuple(deltas)
+        send_idx = tuple(jnp.asarray(a) for a in send_idx)
+    elif halo == "allgather":
+        exports = []
+        for s in range(k):
+            exp = set()
+            for t in range(k):
+                if t == s:
+                    continue
+                nt = needed[t]
+                exp.update(nt[nt // gps == s].tolist())
+            exports.append(np.sort(np.fromiter(exp, np.int64)) if exp
+                           else np.zeros(0, np.int64))
+        E = max(1, max(len(e) for e in exports))
+        export_idx = np.zeros((k, E), np.int32)
+        for s in range(k):
+            loc = exports[s] - s * gps
+            export_idx[s, : len(loc)] = loc
+            for j, gid in enumerate(needed[s]):
+                t = int(gid) // gps
+                pos = int(np.searchsorted(exports[t], gid))
+                halo_src[s, j] = t * E + pos
+        deltas = ()
+        send_idx = ()
+    else:
+        raise ValueError(f"unknown halo mode {halo!r}")
 
-    def remap_groups(s, grps):
-        out = np.empty_like(grps, dtype=np.int32)
-        flat = grps.ravel()
-        of = out.ravel()
-        for i, gid in enumerate(flat):
-            gid = int(gid)
-            if gid // gps == s:
-                of[i] = gid - s * gps
-            else:
-                of[i] = remap[s][gid]
-        return out
+    def remap_groups(s, grps, valid):
+        """Global group ids -> shard-local window indices: own groups
+        map to [0, gps), halo groups to gps + position in needed[s],
+        pad entries to 0 (their table columns are zero — any in-range
+        index works). Vectorized: at 1M points the group lists are
+        millions of entries."""
+        g64 = grps.astype(np.int64)
+        own = g64 - s * gps
+        halo = gps + np.searchsorted(needed[s], g64)
+        out = np.where(g64 // gps == s, own, halo)
+        return np.where(valid, out, 0).astype(np.int32)
 
     # ---- per-shard far buckets (block counts padded to the max) -------
     fg_l, ft_l, fm_l = [], [], []
@@ -182,8 +250,9 @@ def shard_band_engine(eng: BandEngine, k: int) -> Tuple[BandShards,
     perm = np.zeros((k, S), np.int32)
     row_cursor = np.zeros(k, np.int64)
     shard_rows = []  # per bucket: [k] real row counts
-    for blks, grps, tabs, masks in zip(far_blocks, far_groups, far_tabs,
-                                       far_vwmask):
+    for blks, grps, tabs, masks, valid in zip(far_blocks, far_groups,
+                                              far_tabs, far_vwmask,
+                                              valid_l):
         sh = blks // S if len(blks) else np.zeros(0, np.int64)
         counts = [int((sh == s).sum()) for s in range(k)]
         nbt = max(1, max(counts))
@@ -194,7 +263,7 @@ def shard_band_engine(eng: BandEngine, k: int) -> Tuple[BandShards,
         for s in range(k):
             sel = np.where(sh == s)[0]
             if len(sel):
-                gk[s, : len(sel)] = remap_groups(s, grps[sel])
+                gk[s, : len(sel)] = remap_groups(s, grps[sel], valid[sel])
                 tk[s, : len(sel)] = tabs[sel]
                 mk[s, : len(sel)] = masks[sel]
                 perm[s, blks[sel] - s * S] = (
@@ -227,10 +296,12 @@ def shard_band_engine(eng: BandEngine, k: int) -> Tuple[BandShards,
         far_tabs=tuple(jnp.asarray(x) for x in ft_l),
         far_vwmask=tuple(jnp.asarray(x) for x in fm_l),
         far_perm=jnp.asarray(perm),
+        send_idx=send_idx,
     )
     static = BandShardStatic(
         k=k, g=g, d=d, P=Pr,
         sig_w=float(eng.sig_w), sig_g=float(eng.sig_g),
+        deltas=deltas,
     )
     return shards, static
 
@@ -246,15 +317,29 @@ def comm_bytes_per_pass(shards: BandShards, static: BandShardStatic,
                         lanes: int, itemsize: int = 2) -> dict:
     """Static comm-volume accounting for ONE pair pass at ``lanes``
     window lanes: ppermute moves 2 boundary blocks per shard; the far
-    all_gather moves k*E export groups to every shard. Returns bytes
-    per device per pass (the SCALING.md model inputs)."""
+    exchange moves sum_delta E_delta group rows per shard (targeted)
+    or k*E (all_gather). Returns bytes per device per pass (the
+    SCALING.md model inputs); ``allgather_bytes`` is the far-exchange
+    volume in both modes."""
     k, g, Pr = static.k, static.g, static.P
-    E = int(shards.export_idx.shape[1])
     S = shards.blocks_per_shard
+    if static.deltas:
+        # sent == received per shard: one ppermute per distance
+        sent_rows = sum(int(a.shape[1]) for a in shards.send_idx)
+        recv_rows = sent_rows
+        mode = "targeted"
+    else:
+        # each shard sends its E export rows once; the all_gather
+        # delivers every shard's exports to everyone (k*E received)
+        sent_rows = int(shards.export_idx.shape[1])
+        recv_rows = k * sent_rows
+        mode = "allgather"
     return {
+        "mode": mode,
         "ppermute_bytes": 2 * Pr * lanes * itemsize,
-        "allgather_bytes": k * E * g * lanes * itemsize,
-        "export_fraction": E / (S * Pr / g),
+        "allgather_bytes": recv_rows * g * lanes * itemsize,
+        # sent rows / this shard's group rows — the SCALING.md metric
+        "export_fraction": sent_rows / (S * Pr / g),
         "full_state_bytes": k * S * Pr * lanes * itemsize,
     }
 
@@ -279,13 +364,33 @@ def _band_window_halo(X: Array, k: int) -> Array:
     )
 
 
-def _halo_rows(Xflat_g: Array, export_idx: Array, halo_src: Array) -> Array:
-    """Export-compacted far exchange: gather this shard's export rows,
-    all_gather them, index out this shard's halo rows.
-    Xflat_g [gps, g*L] -> [H, g*L]."""
-    exp = Xflat_g[export_idx]  # [E, gL]
+def _halo_rows(Xflat_g: Array, loc: "BandShards",
+               st: BandShardStatic) -> Array:
+    """Far-group halo exchange, Xflat_g [gps, g*L] -> [H, g*L].
+
+    Targeted mode (st.deltas non-empty): one ppermute per populated
+    curve distance delta — shard s sends exactly the groups shard
+    (s+delta)%k needs; received buffers concatenate in delta order and
+    halo_src indexes into that. Comm per shard = sum_delta E_delta rows
+    (boundary-proportional) instead of the all_gather's k*E.
+
+    All_gather mode: gather this shard's export rows, all_gather them,
+    index out this shard's halo rows ([k*E] buffer)."""
+    if st.deltas:
+        k = st.k
+        parts = []
+        for delta, sidx in zip(st.deltas, loc.send_idx):
+            buf = Xflat_g[sidx]  # [Edelta, gL]
+            perm = [(s, (s + delta) % k) for s in range(k)]
+            parts.append(jax.lax.ppermute(buf, PARTICLE_AXIS, perm))
+        if not parts:
+            return jnp.zeros(
+                (loc.halo_src.shape[0], Xflat_g.shape[-1]), Xflat_g.dtype
+            )
+        return jnp.concatenate(parts, axis=0)[loc.halo_src]
+    exp = Xflat_g[loc.export_idx]  # [E, gL]
     allb = jax.lax.all_gather(exp, PARTICLE_AXIS, axis=0)  # [k, E, gL]
-    return allb.reshape(-1, Xflat_g.shape[-1])[halo_src]
+    return allb.reshape(-1, Xflat_g.shape[-1])[loc.halo_src]
 
 
 def _far_window_l(src_g: Array, grp: Array, g: int, L: int) -> Array:
@@ -350,12 +455,12 @@ def perceive_band_sharded(
 
     if loc.far_tabs:
         Xg = Xc.reshape(-1, g * L)  # [gps, gL] group-packed
-        halo = _halo_rows(Xg, loc.export_idx, loc.halo_src)
+        halo = _halo_rows(Xg, loc, st)
         src = jnp.concatenate([Xg, halo], axis=0)
         esrc = None
         if extra is not None:
             Eg = extra.astype(tdt).reshape(-1, g * ke)
-            ehalo = _halo_rows(Eg, loc.export_idx, loc.halo_src)
+            ehalo = _halo_rows(Eg, loc, st)
             esrc = jnp.concatenate([Eg, ehalo], axis=0)
 
         def alive_of(Xw, vm):
@@ -411,7 +516,7 @@ def mask_blur_band_sharded(
     out = _pair_dot(loc.Tband[:, :, d * Pr :], _band_window_halo(acol, k))
     if loc.far_tabs:
         Ag = acol.reshape(-1, g * b)
-        halo = _halo_rows(Ag, loc.export_idx, loc.halo_src)
+        halo = _halo_rows(Ag, loc, st)
         src = jnp.concatenate([Ag, halo], axis=0)
         outs = [
             _pair_dot(tab[:, :, d * Pr :],
@@ -592,7 +697,7 @@ def rollout_mesh_band_sharded(
             kstep, is_first = xs
             ks = jax.random.fold_in(kstep, idx)
             w = jax.lax.stop_gradient(
-                _diffuse_weights(Xc, b, cfg.use_alpha)
+                _diffuse_weights(Xc, b)
             )
             mt = _diffuse_mt(
                 w, tuple(jax.lax.stop_gradient(t) for t in td), b,

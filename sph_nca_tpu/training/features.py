@@ -136,6 +136,158 @@ def get_vgg_features(weights_path: str | None = None,
 
 
 # ---------------------------------------------------------------------------
+# Pretrained-free texture features: fixed multi-scale oriented Gabor bank
+# + Portilla-Simoncelli-style cross-scale magnitude statistics
+# ---------------------------------------------------------------------------
+#
+# This environment has no model-zoo egress, so the reference's pretrained
+# VGG19 style layers (nca.py:563-616) cannot be loaded. Random conv
+# filters exercise the OT machinery but lose high-frequency structure
+# (round-3 eval: spectrum L1 only reached the blurred-exemplar anchor).
+# A *designed* filter bank needs no training: quadrature-pair Gabor
+# filters at O orientations over an S-level image pyramid give
+# orientation- and scale-selective energy measurements, and products of
+# coarse-scale magnitude with fine-scale magnitude (the cross-scale
+# correlations of Portilla & Simoncelli, IJCV 2000) capture the phase
+# alignment that distinguishes edges/lines from noise with matching
+# spectra. The OT loss (relaxed EMD + first/second moments,
+# losses.ot_feature_loss) then matches the joint distribution of these
+# per-pixel feature vectors per scale — moment matching over this set
+# subsumes the classic PS statistic families (oriented energy means,
+# orientation co-occurrence, cross-scale correlation, color moments).
+
+
+def _gabor_bank_np(
+    ksize: int, wavelength: float, n_orient: int
+) -> tuple:
+    """Quadrature Gabor filter bank, numpy [K, K, 1, O] (even, odd).
+
+    Even (cosine) filters are mean-subtracted (DC-free) and every filter
+    is L2-normalized so response magnitudes are comparable across
+    orientations.
+    """
+    r = ksize // 2
+    y, x = np.mgrid[-r : r + 1, -r : r + 1].astype(np.float64)
+    sigma = 0.56 * wavelength  # ~1 octave bandwidth
+    env = np.exp(-(x * x + y * y) / (2.0 * sigma * sigma))
+    evens, odds = [], []
+    for i in range(n_orient):
+        th = np.pi * i / n_orient
+        u = x * np.cos(th) + y * np.sin(th)
+        carrier = 2.0 * np.pi * u / wavelength
+        e = env * np.cos(carrier)
+        o = env * np.sin(carrier)
+        e -= e.mean()
+        e /= np.sqrt((e * e).sum())
+        o /= np.sqrt((o * o).sum())
+        evens.append(e)
+        odds.append(o)
+    ev = np.stack(evens, axis=-1)[:, :, None, :]  # [K, K, 1, O]
+    od = np.stack(odds, axis=-1)[:, :, None, :]
+    return ev.astype(np.float32), od.astype(np.float32)
+
+
+def _avg_pool2(z: Array) -> Array:
+    """2x2 average pool, NHWC."""
+    return jax.lax.reduce_window(
+        z, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) * 0.25
+
+
+def _conv_same(z: Array, w: Array) -> Array:
+    return jax.lax.conv_general_dilated(
+        z, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@dataclasses.dataclass
+class GaborTextureFeatures:
+    """Fixed (training-free) texture feature extractor.
+
+    Per pyramid scale s (2x downsampled each level), the per-pixel
+    feature vector concatenates:
+      * rgb_s [3] — low-passed color (color moments per scale),
+      * even/odd Gabor responses [2*O] — signed oriented structure,
+      * magnitude sqrt(e^2 + o^2) [O] — phase-invariant oriented energy,
+      * cross-scale magnitude product mag_s * up(mag_{s+1}) [O] — the
+        PS cross-scale correlation carrier (zeros at the coarsest scale
+        so the channel count is static).
+
+    Returns one [h_s*w_s, 3+4*O] feature set per scale — same interface
+    as VGGFeatures, drops into losses.ot_feature_loss unchanged.
+    """
+
+    even: Array  # [K, K, 1, O]
+    odd: Array  # [K, K, 1, O]
+    n_scales: int = 3
+
+    def __call__(self, img: Array) -> List[Array]:
+        o = self.even.shape[-1]
+        lum = img @ jnp.asarray([0.299, 0.587, 0.114])  # [H, W]
+        z = lum[None, ..., None]  # [1, H, W, 1]
+        rgb = img[None]  # [1, H, W, 3]
+        mags, per_scale = [], []
+        for s in range(self.n_scales):
+            e = _conv_same(z, self.even)[0]  # [h, w, O]
+            od = _conv_same(z, self.odd)[0]
+            mag = jnp.sqrt(e * e + od * od + 1e-12)
+            mags.append(mag)
+            per_scale.append((rgb[0], e, od, mag))
+            if s + 1 < self.n_scales:
+                z = _avg_pool2(z)
+                rgb = _avg_pool2(rgb)
+        feats = []
+        for s, (rgb_s, e, od, mag) in enumerate(per_scale):
+            if s + 1 < self.n_scales:
+                up = jax.image.resize(
+                    mags[s + 1], mag.shape, "bilinear"
+                )
+                cross = mag * up
+            else:
+                cross = jnp.zeros_like(mag)
+            f = jnp.concatenate([rgb_s, e, od, mag, cross], axis=-1)
+            feats.append(f.reshape(-1, f.shape[-1]))
+        return feats
+
+
+def gabor_texture_features(
+    n_orient: int = 6,
+    n_scales: int = 3,
+    ksize: int = 9,
+    wavelength: float = 4.0,
+) -> GaborTextureFeatures:
+    """Build the default fixed Gabor texture extractor (see
+    GaborTextureFeatures). Deterministic — no weights, no RNG."""
+    ev, od = _gabor_bank_np(ksize, wavelength, n_orient)
+    return GaborTextureFeatures(
+        even=jnp.asarray(ev), odd=jnp.asarray(od), n_scales=n_scales
+    )
+
+
+def get_texture_features(
+    kind: str = "gabor",
+    weights_path: str | None = None,
+    seed: int = 0,
+):
+    """Texture feature extractor registry for the OT loss.
+
+    kind: 'gabor' (fixed filter bank, the pretrained-free default),
+    'vgg' (requires ``weights_path``), 'vgg_random' (fixed-seed random
+    filters — round-3 behavior, kept for comparability)."""
+    if kind == "gabor":
+        return gabor_texture_features()
+    if kind == "vgg":
+        if not weights_path:
+            raise ValueError("kind='vgg' requires weights_path")
+        return load_vgg19_features(weights_path)
+    if kind == "vgg_random":
+        return random_vgg19_features(seed)
+    raise ValueError(f"unknown texture feature kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
 # CLIP multi-scale view pyramid (reference losses.py:81-82, 97)
 # ---------------------------------------------------------------------------
 

@@ -229,7 +229,7 @@ def test_sharded_mesh_rollout_matches_global_fr1(rng):
     got_A = batched_gather_back(eng, fS, B)
     # epilogue: T_K = diffuse(A_K, T_{K-1}) on the global engine
     nd = normal_components(nc)
-    final_td = _diffuse_td(eng, nd, ftd, fS, B, use_alpha=cfg.use_alpha)
+    final_td = _diffuse_td(eng, nd, ftd, fS, B)
     ft = jnp.stack(final_td, axis=-1).reshape(
         eng.num_cells, eng.slots_per_cell, B * 3
     )
@@ -237,3 +237,48 @@ def test_sharded_mesh_rollout_matches_global_fr1(rng):
     assert rel_err(ref_A, got_A) < 1e-4
     alive = np.asarray(ref_A[..., 3]) > 0.1
     assert rel_err(np.asarray(ref_t)[alive], np.asarray(got_t)[alive]) < 1e-3
+
+
+def test_allgather_mode_matches_targeted(rng):
+    """Both far-exchange modes produce identical sharded perception
+    (targeted is the default; allgather is the round-3 exchange)."""
+    eng, A = scene(rng)
+    sh_t, st_t = shard_band_engine(eng, K, halo="targeted")
+    sh_a, st_a = shard_band_engine(eng, K, halo="allgather")
+    assert st_t.deltas and not st_a.deltas
+    mesh = make_mesh(particle=K)
+    SB = batched_scatter(eng, A)
+
+    from jax.sharding import PartitionSpec as P
+
+    from sph_nca_tpu.parallel.mesh import PARTICLE_AXIS
+
+    Pr = st_t.P
+    S = sh_t.blocks_per_shard
+    X = SB.reshape(K, S, Pr, B * F)
+
+    def run(shards, static):
+        specs = jax.tree.map(lambda _: P(PARTICLE_AXIS), shards)
+
+        def body(loc, Xs):
+            loc = jax.tree.map(lambda a: a[0], loc)
+            ga, sm = perceive_band_sharded(loc, static, Xs[0], B, True)
+            return ga[None], sm[None]
+
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(specs, P(PARTICLE_AXIS)),
+            out_specs=(P(PARTICLE_AXIS), P(PARTICLE_AXIS)),
+            check_vma=False,
+        )(shards, X)
+
+    ga_t, sm_t = run(sh_t, st_t)
+    ga_a, sm_a = run(sh_a, st_a)
+    np.testing.assert_allclose(np.asarray(ga_t), np.asarray(ga_a),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sm_t), np.asarray(sm_a),
+                               rtol=1e-6, atol=1e-6)
+    # targeted must not move MORE far rows than the all_gather delivers
+    acc_t = comm_bytes_per_pass(sh_t, st_t, lanes=B * F, itemsize=4)
+    acc_a = comm_bytes_per_pass(sh_a, st_a, lanes=B * F, itemsize=4)
+    assert acc_t["mode"] == "targeted" and acc_a["mode"] == "allgather"
+    assert acc_t["allgather_bytes"] <= acc_a["allgather_bytes"]

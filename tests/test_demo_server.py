@@ -145,3 +145,38 @@ def test_info_and_config_endpoints(server):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+def test_record_mode_and_color_mode(tmp_path):
+    """Headless --record writes a PNG strip; color_mode=activity renders
+    the activity channel as grayscale (reference main.js colorMode)."""
+    from sph_nca_tpu.demo.server import record
+
+    cfg = SPHNCAConfig(channels=8, hidden=16, normalize_perception=4.0)
+    params = init_params(jax.random.key(0), cfg)
+    wpath = str(tmp_path / "w.json")
+    save_weights_json(wpath, params, cfg, h=0.25, mode="image")
+
+    class Args:
+        weights_json = wpath
+        size = 12
+        jitter = 0.0
+        color_mode = "rgba"
+
+    state = DemoState(Args())
+    out = str(tmp_path / "strip.png")
+    record(state, out, steps=4, frames=3)
+    from PIL import Image
+
+    img = Image.open(out)
+    assert img.size == (3 * 12, 12)  # 3 frames side by side
+
+    # color_mode is a render-only setting: no engine rebuild
+    eng_before = state.engine
+    state.reconfigure(color_mode="activity")
+    assert state.engine is eng_before
+    raw = np.frombuffer(state.frame(), np.uint8).reshape(12, 12, 4)
+    assert np.all(raw[..., 0] == raw[..., 1])  # grayscale
+    assert np.all(raw[..., 3] == 255)
+    with pytest.raises(ValueError):
+        state.reconfigure(color_mode="nope")

@@ -189,3 +189,73 @@ def test_convert_torchvision_vgg19_recorded_schema(tmp_path):
 
     z2 = (img[..., 2] - IMAGENET_MEAN[2]) / IMAGENET_STD[2]
     np.testing.assert_allclose(f7[1:, :-1], z2[:-1, 1:], rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Gabor texture features (pretrained-free OT feature stack, round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_gabor_feature_shapes_and_determinism():
+    from sph_nca_tpu.training.features import (
+        gabor_texture_features,
+        get_texture_features,
+    )
+
+    fx = gabor_texture_features(n_orient=6, n_scales=3)
+    img = jnp.asarray(
+        np.random.default_rng(0).random((48, 48, 3)), jnp.float32
+    )
+    feats = fx(img)
+    assert len(feats) == 3
+    # c = 3 rgb + 6 even + 6 odd + 6 mag + 6 cross
+    assert [tuple(f.shape) for f in feats] == [
+        (48 * 48, 27), (24 * 24, 27), (12 * 12, 27)
+    ]
+    # deterministic (no weights, no RNG)
+    fx2 = get_texture_features("gabor")
+    feats2 = fx2(img)
+    for a, b in zip(feats, feats2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gabor_orientation_selectivity():
+    """Horizontal stripes excite the vertical-frequency Gabor channel
+    (theta = 90 deg: u = y) far more than the orthogonal one."""
+    from sph_nca_tpu.training.features import gabor_texture_features
+
+    fx = gabor_texture_features(n_orient=6, n_scales=1)
+    y = np.arange(64)[:, None]
+    img = np.repeat(
+        (0.5 + 0.5 * np.sin(2 * np.pi * y / 4.0))[..., None], 3, axis=-1
+    ) * np.ones((64, 64, 3))
+    feats = fx(jnp.asarray(img, jnp.float32))
+    mag = np.asarray(feats[0])[:, 15:21].reshape(64, 64, 6)
+    # orientation k has filter axis theta = pi*k/6; stripes vary along y
+    # -> strongest response at theta = pi/2 (k = 3), weakest at k = 0
+    energy = (mag**2).mean(axis=(0, 1))
+    assert energy[3] > 10.0 * energy[0]
+
+
+def test_gabor_ot_loss_discriminates():
+    """OT loss over Gabor features: same-texture < different-texture."""
+    from sph_nca_tpu.training.features import gabor_texture_features
+    from sph_nca_tpu.training.losses import ot_feature_loss
+
+    fx = gabor_texture_features(n_orient=6, n_scales=3)
+    rng = np.random.default_rng(3)
+    y = np.arange(48)[:, None] * np.ones((1, 48))
+    stripes = np.repeat(
+        (0.5 + 0.5 * np.sin(2 * np.pi * y / 6.0))[..., None], 3, -1
+    )
+    noise = rng.random((48, 48, 3))
+    stripes2 = np.clip(
+        stripes + 0.05 * rng.standard_normal(stripes.shape), 0, 1
+    )
+    f_a = fx(jnp.asarray(stripes, jnp.float32))
+    f_a2 = fx(jnp.asarray(stripes2, jnp.float32))
+    f_n = fx(jnp.asarray(noise, jnp.float32))
+    key = jax.random.key(0)
+    near = float(ot_feature_loss(f_a2, f_a, key))
+    far = float(ot_feature_loss(f_n, f_a, key))
+    assert near < 0.3 * far
