@@ -20,10 +20,13 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fibonacci_sphere(n, radius=0.8):
@@ -45,8 +48,6 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--out", type=str, default="runs/scaling_trend.md")
     args = ap.parse_args()
-
-    import os
 
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")

@@ -337,6 +337,17 @@ def nca_step_cells_batched(
     return out
 
 
+import os as _os
+
+# Update-MLP implementation: "blockdiag" (lane-batched block-diagonal
+# expansion, ~8x redundant FLOPs but zero relayouts — the round-2/3
+# choice) or "sublane" (sample-major reshape to [rows*B, F] + SHARED
+# 1x-FLOP weights, at the cost of lane<->sublane relayouts). The env
+# var lets bench.py A/B the two on real hardware without threading a
+# flag through every rollout signature.
+_MLP_IMPL_DEFAULT = _os.environ.get("SPH_NCA_MLP_IMPL", "blockdiag")
+
+
 def _update_core(
     params: MLPParams,
     cfg: SPHNCAConfig,
@@ -348,6 +359,7 @@ def _update_core(
     h,
     fire_rate: float,
     mlp_dtype: Optional[str],
+    mlp_impl: Optional[str] = None,
 ) -> Array:
     """Engine-independent core of the batched NCA step: block-diagonal
     update MLP + gated/orig update + Bernoulli fire mask (reference
@@ -363,6 +375,11 @@ def _update_core(
         else jnp.float32(1.0)
     ydt = jnp.dtype(mlp_dtype) if mlp_dtype else SB2.dtype
     bf = b * f
+
+    if (mlp_impl or _MLP_IMPL_DEFAULT) == "sublane":
+        return _update_core_sublane(
+            params, cfg, SB2, gaB, b, f, key, h, fire_rate, ydt, scale
+        )
 
     w1x, b1x, w2x, b2x = _blockdiag_mlp_weights(
         params, b, f, c, cfg.update_rule, ydt
@@ -416,6 +433,80 @@ def _update_core(
     )  # [rows, B*F] in {0, 1} (exact: one-hot matmul of exact 0/1)
     # select, not lerp: SB2 + 1*(nS - SB2) can differ from nS by 1 ulp
     # vs the reference's torch.where (drift compounds in long rollouts)
+    return jnp.where(fire > 0.5, nS, SB2)
+
+
+def _update_core_sublane(
+    params: MLPParams,
+    cfg: SPHNCAConfig,
+    SB2: Array,  # [rows, B*F]
+    gaB: Array,  # [..., D*B*F]
+    b: int,
+    f: int,
+    key: Array,
+    h,
+    fire_rate: float,
+    ydt,
+    scale,
+) -> Array:
+    """Sublane (sample-major) update MLP: reshape the lane-batched state
+    to [rows*B, F] rows and contract with the SHARED per-sample weights
+    — 1x FLOPs instead of blockdiag's ~8x, at the cost of the
+    lane<->sublane relayouts the reshapes imply and K/N MXU padding
+    (48->128, 33->128). VERDICT r4 experiment; A/B'd against blockdiag
+    on the real chip via SPH_NCA_MLP_IMPL.
+
+    Layout note that makes this cheap: SB2's lanes are sample-major
+    ([A_s0 | A_s1 | ...]), and gaB's d-major blocks are sample-major
+    within each block, so every reshape here is logically contiguous;
+    likewise dA[:, :C].reshape(rows, B*C) lands exactly in the lane
+    grouping the update rule consumes — no permute matmuls."""
+    from ..ops.batched import expand_lanes
+
+    c = cfg.channels
+    rows = SB2.shape[0]
+    bf = b * f
+    rb = rows * b
+
+    ga_flat = gaB.reshape(rows, -1)
+    A8 = SB2.astype(ydt).reshape(rb, f)
+    gx8 = ga_flat[:, :bf].astype(ydt).reshape(rb, f)
+    gy8 = ga_flat[:, bf : 2 * bf].astype(ydt).reshape(rb, f)
+    y = jnp.concatenate([A8, gx8, gy8], axis=-1)  # [rows*B, 3F]
+
+    # fold the h*k perception rescale (reference nca.py:30) into the
+    # gA rows of W1 — loop-invariant, hoisted out of rollout scans
+    w1 = params.w1.astype(ydt)
+    w1 = jnp.concatenate(
+        [w1[:f], jnp.asarray(scale, ydt) * w1[f:]], axis=0
+    )
+    prec = (
+        jax.lax.Precision.DEFAULT if ydt == jnp.bfloat16
+        else jax.lax.Precision.HIGH
+    )
+    hm = jnp.maximum(
+        jnp.matmul(y, w1, precision=prec) + params.b1.astype(ydt), 0.0
+    )
+    dA = (
+        jnp.matmul(hm, params.w2.astype(ydt), precision=prec)
+        + params.b2.astype(ydt)
+    ).astype(jnp.float32)  # [rows*B, out]
+
+    if cfg.update_rule == "gated":
+        gate = jax.nn.sigmoid(dA[:, :c]).reshape(rows, bf)
+        delta = jnp.tanh(dA[:, c : 2 * c]).reshape(rows, bf)
+        mult = expand_lanes(
+            jax.nn.sigmoid(dA[:, 2 * c]).reshape(rows, b), f
+        )
+        nS = SB2 * gate + delta * mult
+    elif cfg.update_rule == "orig":
+        dAr = dA[:, :c].reshape(rows, bf)
+        nS = SB2 + dAr * (cfg.fire_rate / fire_rate)
+    else:
+        raise ValueError(f"unknown update rule {cfg.update_rule!r}")
+
+    u = jax.random.uniform(key, (rows, b))
+    fire = expand_lanes((u <= fire_rate).astype(nS.dtype), f)
     return jnp.where(fire > 0.5, nS, SB2)
 
 

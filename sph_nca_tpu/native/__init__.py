@@ -21,6 +21,31 @@ _LIB = os.path.join(_DIR, "libsphgrid.so")
 _lib = None
 _load_failed = False
 
+_HUGE_MIN = 16 << 20  # bytes; below this plain numpy allocation is fine
+
+
+def _alloc(shape, dtype, zero: bool = False) -> np.ndarray:
+    """Big-buffer allocator: anonymous mmap + MADV_HUGEPAGE.
+
+    Two wins over np.empty/np.zeros for the multi-GB table outputs on
+    this host (THP is madvise-mode, so plain malloc pages never get
+    huge pages): (a) 2 MB faults instead of 4 KB through the measured
+    fresh-page write collapse (~45 MB/s after churn, RESULTS.md round
+    3), and (b) anonymous mmap pages arrive kernel-zeroed, so
+    ``zero=True`` costs nothing instead of a memset pass."""
+    dt = np.dtype(dtype)
+    nbytes = int(np.prod(np.asarray(shape, np.int64))) * dt.itemsize
+    if nbytes < _HUGE_MIN:
+        return np.zeros(shape, dt) if zero else np.empty(shape, dt)
+    import mmap as _mmap
+
+    mm = _mmap.mmap(-1, nbytes)
+    try:
+        mm.madvise(_mmap.MADV_HUGEPAGE)
+    except (AttributeError, OSError):
+        pass
+    return np.frombuffer(mm, dt).reshape(shape)
+
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
@@ -199,16 +224,16 @@ def true_pairs(
     # only re-run if the exact count overflows the guess — the scan
     # itself dominates, so avoiding the count-only pass halves the cost
     cap = 33 * n + 1024
-    w6sum = np.empty(n, np.float64) if with_sums else None
-    nbr = np.empty(n, np.int32) if with_sums else None
+    w6sum = _alloc(n, np.float64) if with_sums else None
+    nbr = _alloc(n, np.int32) if with_sums else None
     wp = (w6sum.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
           if with_sums else ctypes.POINTER(ctypes.c_double)())
     np_ = _iptr(nbr) if with_sums else ctypes.POINTER(ctypes.c_int32)()
     while True:
-        pi = np.empty(cap, np.int32)
-        pj = np.empty(cap, np.int32)
-        dx = np.empty((cap, d), np.float32)
-        d2 = np.empty(cap, np.float32)
+        pi = _alloc(cap, np.int32)
+        pj = _alloc(cap, np.int32)
+        dx = _alloc((cap, d), np.float32)
+        d2 = _alloc(cap, np.float32)
         e = lib.sphgrid_true_pairs(
             xp, n, d, ctypes.c_double(h), p_ptr, cap, _iptr(pi), _iptr(pj),
             _fptr(dx), _fptr(d2), wp, np_,
@@ -255,8 +280,8 @@ def fill_band_bf16(pi, band_col, pairs, v, h, nrows, p):
     d2 = np.ascontiguousarray(d2, np.float32)
     v = np.ascontiguousarray(v, np.float64)
     cc = (d + 1) * p
-    out = np.empty((nrows, 3 * p, cc), np.uint16)
-    gs = np.zeros((nrows, cc), np.float32)
+    out = _alloc((nrows, 3 * p, cc), np.uint16)
+    gs = _alloc((nrows, cc), np.float32, zero=True)
     lib.sphgrid_fill_band_bf16(
         _iptr(pi), _iptr(band_col), len(pi), _fptr(dx), _fptr(d2),
         _iptr(pj), v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -281,7 +306,7 @@ def accum_table(
     ri = np.ascontiguousarray(ri, np.int32)
     mdv = np.ascontiguousarray(mdv, np.float64)
     w6v = np.ascontiguousarray(w6v, np.float64)
-    tab = np.zeros((nrows, wcols, (d + 1) * p), np.float32)
+    tab = _alloc((nrows, wcols, (d + 1) * p), np.float32, zero=True)
     lib.sphgrid_accum_table(
         _iptr(rows), _iptr(cols), _iptr(ri),
         mdv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -324,8 +349,8 @@ def fill_cast_bf16(
         assert len(psel) == e
         psel_ptr = psel.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     cc = (d + 1) * p
-    out = np.empty((nrows, wcols, cc), np.uint16)
-    gs = np.zeros((nrows, cc), np.float32)
+    out = _alloc((nrows, wcols, cc), np.uint16)
+    gs = _alloc((nrows, cc), np.float32, zero=True)
     lib.sphgrid_fill_cast_bf16(
         _iptr(rows), _iptr(cols), _iptr(ri), psel_ptr, e,
         _fptr(dx), _fptr(d2), _iptr(pj),
@@ -351,8 +376,9 @@ def cast_bf16_gsum(
 
     tab = np.ascontiguousarray(tab, np.float32)
     nrows, wrows, cc = tab.shape
-    dst = np.empty(tab.shape, np.uint16)
-    gs = np.zeros((nrows, cc), np.float32) if with_gsum else None
+    dst = _alloc(tab.shape, np.uint16)
+    gs = (_alloc((nrows, cc), np.float32, zero=True)
+          if with_gsum else None)
     lib.sphgrid_cast_bf16_gsum(
         _fptr(tab), dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         nrows, wrows, cc,

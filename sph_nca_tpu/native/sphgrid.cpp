@@ -364,20 +364,23 @@ void sphgrid_fill_band_bf16(const int32_t* __restrict pi,
         base[c * P] += (float)(mag * dx[k * d + c] * vj);
       base[d * P] += (float)(w6 * vj);
     }
-    const uint32_t* __restrict su = (const uint32_t*)scratch.data();
-    uint16_t* __restrict du = out + r0 * row_elems;
-    const int64_t total = (r1 - r0) * row_elems;
-    for (int64_t t = 0; t < total; ++t) {
-      const uint32_t u = su[t];
-      du[t] = (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
-    }
+    // fused cast + quantized-row-sum pass: one read of scratch, one
+    // write of out, no 2x re-read of the bf16 table from RAM (the
+    // separate gsum loop cost a full extra pass over the output)
     for (int64_t r = r0; r < r1; ++r) {
-      const uint16_t* __restrict dr = out + r * row_elems;
+      const uint32_t* __restrict sr =
+          (const uint32_t*)scratch.data() + (r - r0) * row_elems;
+      uint16_t* __restrict dr = out + r * row_elems;
       float* __restrict gr = gs + r * cc;
       for (int64_t w = 0; w < wcols; ++w) {
-        const uint16_t* __restrict dw = dr + w * cc;
+        const uint32_t* __restrict sw = sr + w * cc;
+        uint16_t* __restrict dw = dr + w * cc;
         for (int64_t c = 0; c < cc; ++c) {
-          const uint32_t back = (uint32_t)dw[c] << 16;
+          const uint32_t u = sw[c];
+          const uint16_t q =
+              (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+          dw[c] = q;
+          const uint32_t back = (uint32_t)q << 16;
           float f;
           std::memcpy(&f, &back, 4);
           gr[c] += f;

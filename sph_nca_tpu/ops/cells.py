@@ -304,6 +304,55 @@ def _morton_code(c: np.ndarray) -> np.ndarray:
     return code
 
 
+def _hilbert_code(c: np.ndarray) -> np.ndarray:
+    """Hilbert-curve index of integer cells c [C, D] (vectorized
+    Skilling AxesToTranspose, AIP CP 707:381, 2004).
+
+    The Hilbert curve is CONTINUOUS (consecutive indices are always
+    face-adjacent cells), unlike Morton's quadrant jumps — spatially
+    near cells land curve-near more often, which shrinks the band
+    engine's far-pair population and the sharded halo's long-distance
+    exports. O(D * nbits) vectorized passes over the cell array."""
+    X = np.array(c, np.int64, copy=True)
+    n, d = X.shape
+    if d == 1:
+        return X[:, 0].copy()
+    nbits = max(1, int(np.max(X)).bit_length())
+    M = np.int64(1) << (nbits - 1)
+
+    # inverse undo excess work
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(d):
+            hi = (X[:, i] & Q) != 0
+            # invert X[0] where this axis has the Q bit set; otherwise
+            # exchange the low bits of X[0] and X[i]
+            t = np.where(hi, 0, (X[:, 0] ^ X[:, i]) & P)
+            X[:, 0] = np.where(hi, X[:, 0] ^ P, X[:, 0]) ^ t
+            X[:, i] ^= t
+        Q >>= 1
+
+    # Gray encode
+    for i in range(1, d):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(n, np.int64)
+    Q = M
+    while Q > 1:
+        t = np.where((X[:, d - 1] & Q) != 0, t ^ (Q - 1), t)
+        Q >>= 1
+    for i in range(d):
+        X[:, i] ^= t
+
+    # transpose form -> scalar index: bit b of axis i lands at position
+    # b*D + (D-1-i) (X[0] carries the most significant bit per level)
+    code = np.zeros(n, np.int64)
+    for bit in range(nbits):
+        for i in range(d):
+            code |= ((X[:, i] >> bit) & 1) << (bit * d + (d - 1 - i))
+    return code
+
+
 # Subcells per Pallas block. P = BG * M = 64 rows halves MXU row
 # utilization vs 128 but shrinks union windows ~25% (pair count dominates
 # the VPU-bound pass; measured 138M vs 177M pairs on the 100k benchmark).

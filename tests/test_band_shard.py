@@ -177,9 +177,16 @@ def test_comm_accounting(rng):
     eng, _ = scene(rng)
     shards, static = shard_band_engine(eng, K)
     acc = comm_bytes_per_pass(shards, static, lanes=B * F, itemsize=4)
-    assert acc["export_fraction"] < 1.0
+    # RANDOM points are the far exchange's worst case (no curve
+    # locality); the invariant is bytes-vs-state, not the padded
+    # sent-row fraction (which can exceed 1.0 here — real geometries
+    # measure 13-32%, SCALING.md)
     assert acc["allgather_bytes"] < acc["full_state_bytes"]
     assert acc["ppermute_bytes"] == 2 * static.P * B * F * 4
+    # the all_gather-mode export list is bounded by the group count
+    sh_a, st_a = shard_band_engine(eng, K, halo="allgather")
+    acc_a = comm_bytes_per_pass(sh_a, st_a, lanes=B * F, itemsize=4)
+    assert acc_a["export_fraction"] < 1.0
 
 
 def test_sharded_mesh_rollout_matches_global_fr1(rng):

@@ -213,3 +213,31 @@ def test_block_chunked_perception_matches(rng):
     )
     assert rel_err(batched_gather_back(eng, a, B),
                    batched_gather_back(eng, bb, B)) < 1e-5
+
+
+def test_sublane_mlp_matches_blockdiag(rng):
+    """SPH_NCA_MLP_IMPL=sublane computes the same update as blockdiag
+    (shared 1x-FLOP weights vs the block-diagonal lane expansion)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sph_nca_tpu.models import SPHNCAConfig, init_params
+    from sph_nca_tpu.models.cell_step import _update_core
+
+    B, F, rows = 4, 8, 96
+    for rule in ("gated", "orig"):
+        cfg = SPHNCAConfig(channels=F, hidden=32, update_rule=rule,
+                           normalize_perception=4.0)
+        params = init_params(jax.random.key(0), cfg)
+        SB2 = jnp.asarray(rng.normal(size=(rows, B * F)).astype(np.float32))
+        gaB = jnp.asarray(
+            rng.normal(size=(rows, 3 * B * F)).astype(np.float32)
+        )
+        a = _update_core(params, cfg, SB2, gaB, B, F, jax.random.key(1),
+                         0.25, 1.0, None, mlp_impl="blockdiag")
+        s = _update_core(params, cfg, SB2, gaB, B, F, jax.random.key(1),
+                         0.25, 1.0, None, mlp_impl="sublane")
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(s), rtol=2e-5, atol=2e-5
+        )
