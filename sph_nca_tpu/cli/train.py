@@ -439,20 +439,34 @@ def main(argv=None) -> int:
             trainer.opt_state = restore_opt_state(
                 trainer.opt_state, resume_ck["opt_state"]
             )
-        rs = load_resume_state(resume_path)
-        if rs["pool_A"].shape != tuple(pool.A.shape):
-            raise SystemExit(
-                f"--resume pool shape {rs['pool_A'].shape} does not match "
-                f"current config {tuple(pool.A.shape)}; rerun with the "
-                "original flags"
+        from ..io import has_resume_state
+
+        if not has_resume_state(resume_path):
+            # soft resume: the run was saved with --save_resume false —
+            # params + optimizer restore exactly, the pool re-seeds and
+            # RNG streams are fresh (the reference restores only
+            # weights even on its warm start, train.py:266-269)
+            print(
+                "resume: no pool/RNG sidecar (saved with "
+                "--save_resume false) — soft resume with a fresh pool"
             )
-        if hasattr(pool, "load_state"):
-            pool.load_state(rs["pool_A"])
+            start_iter = int(resume_ck["step"])
+            resume_ck = None
         else:
-            pool.A[:] = rs["pool_A"]
-        pool.rng.bit_generator.state = rs["pool_rng"]
-        trainer.set_rng_state(rs["np_rng"], rs["key_data"])
-        start_iter = int(resume_ck["step"])
+            rs = load_resume_state(resume_path)
+            if rs["pool_A"].shape != tuple(pool.A.shape):
+                raise SystemExit(
+                    f"--resume pool shape {rs['pool_A'].shape} does not "
+                    f"match current config {tuple(pool.A.shape)}; rerun "
+                    "with the original flags"
+                )
+            if hasattr(pool, "load_state"):
+                pool.load_state(rs["pool_A"])
+            else:
+                pool.A[:] = rs["pool_A"]
+            pool.rng.bit_generator.state = rs["pool_rng"]
+            trainer.set_rng_state(rs["np_rng"], rs["key_data"])
+            start_iter = int(resume_ck["step"])
 
     os.makedirs(args.output_dir, exist_ok=True)
     run_id = time.strftime("%m%d%H%M")

@@ -197,3 +197,64 @@ def test_train_cli_exact_resume(tmp_path):
         and os.path.exists(os.path.join(broken, d, "resume.npz"))
     ]
     assert sidecars == [s for s in sidecars if s.endswith("-0008")], sidecars
+
+
+def test_train_cli_clip_text_embed(tmp_path):
+    """Text-mode training through the --clip_text_embed path (a
+    precomputed normalized text embedding steers the CLIP loss without
+    the text tower — the reference's text mode with offline-computed
+    embeddings). Loss must be finite and a checkpoint written."""
+    from sph_nca_tpu.cli.train import main
+
+    emb = np.random.default_rng(0).normal(size=512).astype(np.float32)
+    emb /= np.linalg.norm(emb)
+    emb_path = str(tmp_path / "text_embed.npy")
+    np.save(emb_path, emb)
+
+    out = str(tmp_path / "ckpt")
+    rc = main([
+        "--loss", "clip_multiscale", "--clip_text_embed", emb_path,
+        "--wrap", "true", "--use_alpha", "false",
+        "--initial_feature", "random",
+        "--image_size", "16", "--target_size", "16",
+        "--h", "0.25", "--training_iter", "3", "--batch_size", "2",
+        "--pool_size", "4", "--steps_range", "3,4",
+        "--channels", "8", "--hidden", "16", "--checkpoint_every", "3",
+        "--output_dir", out, "--log_every", "2",
+    ])
+    assert rc == 0
+    metrics = [e for e in os.listdir(out) if e.startswith("metrics-")]
+    assert metrics
+    lines = open(os.path.join(out, metrics[0])).read().strip().splitlines()
+    losses = [json.loads(l)["loss"] for l in lines]
+    assert all(np.isfinite(losses))
+
+
+def test_train_cli_soft_resume_without_sidecar(tmp_path):
+    """--resume on a checkpoint saved with --save_resume false restores
+    params + optimizer and continues with a fresh pool (soft resume)
+    instead of crashing on the missing sidecar."""
+    from PIL import Image
+
+    from sph_nca_tpu.cli.train import main
+
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[4:12, 4:12] = [0, 128, 255, 255]
+    img_path = str(tmp_path / "t.png")
+    Image.fromarray(img).save(img_path)
+
+    out = str(tmp_path / "ckpt")
+    common = [
+        "--img", img_path, "--image_size", "16", "--target_size", "16",
+        "--h", "0.25", "--batch_size", "2", "--pool_size", "4",
+        "--steps_range", "3,4", "--channels", "8", "--hidden", "16",
+        "--output_dir", out, "--log_every", "2",
+    ]
+    rc = main(common + ["--training_iter", "3", "--checkpoint_every", "3",
+                        "--save_resume", "false"])
+    assert rc == 0
+    ck = [e for e in os.listdir(out)
+          if e.startswith("sphnca-") and not e.endswith(".json")][0]
+    rc = main(common + ["--training_iter", "5", "--checkpoint_every", "99",
+                        "--resume", os.path.join(out, ck)])
+    assert rc == 0
