@@ -63,30 +63,42 @@ def spiky_grad(r: np.ndarray, h: float) -> np.ndarray:
 # --- sphops operators (operators_batch.py), dense all-pairs form ------------
 
 
-def volume(x: np.ndarray, h: float) -> np.ndarray:
+def _disp(x: np.ndarray, period=None) -> np.ndarray:
+    """All-pairs displacement r_ij = x_j - x_i, minimum-image when the
+    domain is periodic (the reference's wrapped texture plane: the hash
+    grid wraps modulo the domain and sample_plane keeps positions in
+    [-1, 1], so each pair sees its nearest periodic image)."""
+    r = x[None, :, :] - x[:, None, :]
+    if period is not None:
+        p = np.asarray(period, np.float64)
+        r = r - np.round(r / p) * p
+    return r
+
+
+def volume(x: np.ndarray, h: float, period=None) -> np.ndarray:
     """v_i = 1 / (norm * sum_j W(x_j - x_i))
     (operators_batch.py:17-77 volume_forward_nd; self-pair included)."""
-    r = x[None, :, :] - x[:, None, :]  # r = x_j - x_i
-    w = poly6(r, h).sum(axis=1)
+    w = poly6(_disp(x, period), h).sum(axis=1)
     return 1.0 / (poly6_normalization(x.shape[1], h) * w)
 
 
-def gradient(x: np.ndarray, v: np.ndarray, A: np.ndarray, h: float) -> np.ndarray:
+def gradient(x: np.ndarray, v: np.ndarray, A: np.ndarray, h: float,
+             period=None) -> np.ndarray:
     """GA_i[f,d] = norm * sum_j v_j (A_j[f] - A_i[f]) gradW(x_j - x_i)[d]
     (operators_batch.py:159-236 gradient_forward_nd; the v_j factor enters
     through gradient_kernel(r, h, grad_w, vj))."""
-    r = x[None, :, :] - x[:, None, :]  # [i, j, d]
+    r = _disp(x, period)  # [i, j, d]
     gw = spiky_grad(r, h) * v[None, :, None]  # [i, j, d]
     dA = A[None, :, :] - A[:, None, :]  # [i, j, f]
     GA = np.einsum("ijf,ijd->ifd", dA, gw)
     return spiky_normalization(x.shape[1], h) * GA
 
 
-def blur(x: np.ndarray, v: np.ndarray, F: np.ndarray, h: float) -> np.ndarray:
+def blur(x: np.ndarray, v: np.ndarray, F: np.ndarray, h: float,
+         period=None) -> np.ndarray:
     """SA_i[f] = norm * sum_j W(x_j - x_i) v_j F_j[f]
     (operators_batch.py:601-665 blur_forward_nd)."""
-    r = x[None, :, :] - x[:, None, :]
-    w = poly6(r, h) * v[None, :]  # [i, j]
+    w = poly6(_disp(x, period), h) * v[None, :]  # [i, j]
     return poly6_normalization(x.shape[1], h) * (w @ F)
 
 
@@ -98,10 +110,10 @@ def cell_activity(A: np.ndarray, use_alpha: bool = True) -> np.ndarray:
     return A[..., 3] if use_alpha else np.ones_like(A[..., 3])
 
 
-def life_mask(x, v, activity, h):
+def life_mask(x, v, activity, h, period=None):
     """blur((activity > 0.1).float) > 0.1  (nca.py:71-79)."""
     m = (activity > 0.1).astype(np.float64)[:, None]
-    sm = blur(x, v, m, h)
+    sm = blur(x, v, m, h, period)
     return sm[:, 0] > 0.1
 
 
@@ -124,6 +136,7 @@ def forward(
     use_alpha: bool = True,
     normalize_perception: float = -1.0,
     update_mask: np.ndarray | None = None,
+    period=None,
 ):
     """One SPHNCA step (nca.py:87-115 SPHNCA.forward), returning the new
     state plus every intermediate for granular parity checks.
@@ -136,9 +149,9 @@ def forward(
     c = A.shape[1]
 
     activity = cell_activity(A, use_alpha)
-    prev_mask = life_mask(x, v, activity, h)  # nca.py:88-89
+    prev_mask = life_mask(x, v, activity, h, period)  # nca.py:88-89
 
-    gA = gradient(x, v, A, h)  # nca.py:65-66 perceive
+    gA = gradient(x, v, A, h, period)  # nca.py:65-66 perceive
     if normalize_perception > 0:  # nca.py:67-68
         gA = h * gA * normalize_perception
     # default_feature_processs (nca.py:23-31): concat A, gA_x, gA_y
@@ -161,7 +174,7 @@ def forward(
 
     nA = np.where(update_mask[:, None], nA, A)  # nca.py:111
 
-    new_mask = life_mask(x, v, cell_activity(nA, use_alpha), h)  # nca.py:113
+    new_mask = life_mask(x, v, cell_activity(nA, use_alpha), h, period)  # nca.py:113
     living = prev_mask & new_mask  # nca.py:114-115
     nA = nA * living[:, None].astype(nA.dtype)
 

@@ -200,3 +200,123 @@ def test_golden_step_band_engine(fix, model):
     out = np.asarray(batched_gather_back(eng, SB, b))
     for i in range(b):
         np.testing.assert_allclose(out[i], fix["nA1"], rtol=5e-4, atol=5e-5)
+
+
+# --- zebra (texture-mode, wrapped periodic plane) golden parity -------------
+
+ZFIX = os.path.join(
+    os.path.dirname(__file__), "golden", "zebra_wrapped_fixture.npz"
+)
+ZEBRA = "/root/reference/docs/weights/zebra.json"
+
+
+@pytest.fixture(scope="module")
+def zfix():
+    if not (os.path.exists(ZFIX) and os.path.exists(ZEBRA)):
+        pytest.skip("zebra fixture or reference weights unavailable")
+    return np.load(ZFIX)
+
+
+@pytest.fixture(scope="module")
+def zmodel():
+    from sph_nca_tpu.io import load_weights_json
+
+    return load_weights_json(ZEBRA)
+
+
+def _zcfg(model):
+    """Texture demo contract: no alpha, normalize_perception = 1/h."""
+    import dataclasses
+
+    return dataclasses.replace(
+        model.cfg, use_alpha=False, normalize_perception=1.0 / model.h
+    )
+
+
+def test_golden_zebra_graph_engine_wrapped(zfix, zmodel):
+    """Graph engine reproduces the float64 dense oracle on a WRAPPED
+    plane (minimum-image pairs + no-alpha life mask) with the
+    reference's shipped zebra weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from sph_nca_tpu import ops
+    from sph_nca_tpu.models import nca_step
+
+    h = float(zfix["h"])
+    period = np.asarray([2.0, 2.0], np.float32)
+    x = jnp.asarray(zfix["x"], jnp.float32)
+    dims = ops.default_dims(h)
+    mpc, k = ops.suggest_capacity(np.asarray(x), h, dims, period=period)
+    g = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k, period=period)
+    np.testing.assert_allclose(np.asarray(g.v), zfix["v"], rtol=2e-5)
+
+    cfg = _zcfg(zmodel)
+    A = jnp.asarray(zfix["A0"], jnp.float32)
+    nA = nca_step(zmodel.params, cfg, g, A, jax.random.key(0), zmodel.h,
+                  fire_rate=1.0)
+    np.testing.assert_allclose(
+        np.asarray(nA), zfix["nA1"], rtol=2e-4, atol=2e-5
+    )
+    nA2 = nca_step(zmodel.params, cfg, g, nA, jax.random.key(0), zmodel.h,
+                   fire_rate=1.0)
+    np.testing.assert_allclose(
+        np.asarray(nA2), zfix["nA2"], rtol=5e-4, atol=5e-5
+    )
+
+
+def test_golden_zebra_band_engine_wrapped(zfix, zmodel):
+    """The flagship BAND engine on the wrapped plane: periodic wrap is
+    baked into the pair tables at build time (multi-image
+    accumulation), so this pins the whole bake path against the
+    oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from sph_nca_tpu.models.cell_step import nca_step_cells_batched
+    from sph_nca_tpu.ops.bands import build_band_engine
+    from sph_nca_tpu.ops.batched import batched_gather_back, batched_scatter
+
+    h = float(zfix["h"])
+    eng = build_band_engine(
+        np.asarray(zfix["x"], np.float64), h, block_rows=16,
+        table_dtype="float32", period=[2.0, 2.0],
+    )
+    cfg = _zcfg(zmodel)
+    b = 2
+    AB = jnp.broadcast_to(
+        jnp.asarray(zfix["A0"], jnp.float32)[None], (b,) + zfix["A0"].shape
+    )
+    SB = batched_scatter(eng, AB)
+    SB = nca_step_cells_batched(
+        zmodel.params, cfg, eng, SB, b, jax.random.key(0), h, fire_rate=1.0
+    )
+    out = np.asarray(batched_gather_back(eng, SB, b))
+    for i in range(b):
+        np.testing.assert_allclose(
+            out[i], zfix["nA1"], rtol=5e-4, atol=5e-5
+        )
+
+
+def test_golden_zebra_numpy_demo_engine_wrapped(zfix):
+    """The numpy demo backend matches the oracle on the wrapped plane."""
+    import json
+
+    from sph_nca_tpu.demo.engine import NumpyEngine
+
+    data = json.load(open(ZEBRA))
+    layers = sorted(data["layers"], key=lambda l: l["index"])
+    weights = {
+        "w1": np.asarray(layers[0]["weight"], np.float32).T,
+        "b1": np.asarray(layers[0]["bias"], np.float32),
+        "w2": np.asarray(layers[1]["weight"], np.float32).T,
+        "b2": np.asarray(layers[1]["bias"], np.float32),
+    }
+    h = float(zfix["h"])
+    eng = NumpyEngine(
+        np.asarray(zfix["x"], np.float32), weights, h=h, use_alpha=False,
+        normalize_perception=1.0 / h,
+        period=np.asarray([2.0, 2.0], np.float32),
+    )
+    nA = eng.step(np.asarray(zfix["A0"], np.float32), fire_rate=1.0)
+    np.testing.assert_allclose(nA, zfix["nA1"], rtol=2e-4, atol=2e-5)
