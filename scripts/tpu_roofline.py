@@ -49,11 +49,19 @@ def main():
                     help="only the headline A/Bs, not the full grid")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", type=str, default="runs/roofline_sweep.jsonl")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny geometry on CPU — validates the harness "
+                         "plumbing without a TPU")
     args = ap.parse_args()
 
+    global N_POINTS, BATCH, STEPS
     import jax
     import jax.numpy as jnp
 
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+        N_POINTS, BATCH, STEPS = 2048, 2, 4
+        args.reps = 1
     jax.config.update("jax_compilation_cache_dir", "/tmp/sph_nca_jax_cache")
 
     from sph_nca_tpu.models import SPHNCAConfig, init_params
