@@ -133,6 +133,27 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.sphgrid_far_groups.restype = ctypes.c_int64
+        lib.sphgrid_far_groups.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sphgrid_far_meta.restype = None
+        lib.sphgrid_far_meta.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -359,6 +380,71 @@ def fill_cast_bf16(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), _fptr(gs),
     )
     return out.view(ml_dtypes.bfloat16), gs
+
+
+def far_groups(pi, pj, band_col, e_far_cap, p, g, nb):
+    """Phase A of the far structure: per-block distinct far group ids
+    (ascending, np.unique order) + counts, via a single linear pass with
+    block-local dedup (the pairs are pi-sorted). Returns
+    (grp_count [nb] i32, offsets [nb+1] i64, groups_flat [total] i32)
+    or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pi = np.ascontiguousarray(pi, np.int32)
+    pj = np.ascontiguousarray(pj, np.int32)
+    band_col = np.ascontiguousarray(band_col, np.int32)
+    grp_count = np.empty(nb, np.int32)
+    offsets = np.empty(nb + 1, np.int64)
+    flat = _alloc(max(int(e_far_cap), 1), np.int32)
+    total = lib.sphgrid_far_groups(
+        _iptr(pi), _iptr(pj), _iptr(band_col), len(pi), p, g, nb,
+        _iptr(grp_count),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _iptr(flat),
+    )
+    return grp_count, offsets, flat[:total]
+
+
+def far_meta(pi, pj, band_col, p, g, nb, grp_count, offsets, groups_flat,
+             cuts):
+    """Phase C of the far structure: per-block bucket/row assignment and
+    per-pair (bucket, row, col) for the far-table fills, in one linear
+    pass (replaces the per-bucket searchsorted/repeat/cumsum numpy
+    chains). Returns (block_bucket i8 [nb], block_row i32 [nb],
+    bucket_nblocks i64 [T], bucket_npairs i64 [T], pair_bucket i8 [e],
+    pair_row i32 [e], pair_col i32 [e]) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    pi = np.ascontiguousarray(pi, np.int32)
+    pj = np.ascontiguousarray(pj, np.int32)
+    band_col = np.ascontiguousarray(band_col, np.int32)
+    grp_count = np.ascontiguousarray(grp_count, np.int32)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    groups_flat = np.ascontiguousarray(groups_flat, np.int32)
+    cuts = np.ascontiguousarray(cuts, np.int64)
+    T = len(cuts)
+    e = len(pi)
+    block_bucket = np.empty(nb, np.int8)
+    block_row = np.empty(nb, np.int32)
+    bucket_nblocks = np.empty(T, np.int64)
+    bucket_npairs = np.empty(T, np.int64)
+    pair_bucket = _alloc(e, np.int8)
+    pair_row = _alloc(e, np.int32)
+    pair_col = _alloc(e, np.int32)
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    i8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    lib.sphgrid_far_meta(
+        _iptr(pi), _iptr(pj), _iptr(band_col), e, p, g, nb,
+        _iptr(grp_count), i64p(offsets), _iptr(groups_flat),
+        i64p(cuts), T,
+        i8p(block_bucket), _iptr(block_row),
+        i64p(bucket_nblocks), i64p(bucket_npairs),
+        i8p(pair_bucket), _iptr(pair_row), _iptr(pair_col),
+    )
+    return (block_bucket, block_row, bucket_nblocks, bucket_npairs,
+            pair_bucket, pair_row, pair_col)
 
 
 def cast_bf16_gsum(

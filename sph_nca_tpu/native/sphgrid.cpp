@@ -15,6 +15,7 @@
 // Exposed with a plain C ABI for ctypes (no pybind11 in this image).
 // Build: g++ -O3 -march=native -shared -fPIC -o libsphgrid.so sphgrid.cpp
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -520,6 +521,104 @@ void sphgrid_cast_bf16_gsum(const float* src, uint16_t* dst, int64_t nrows,
         std::memcpy(&f, &back, 4);
         gr[c] += f;
       }
+  }
+}
+
+// Far-group structure, phase A: the distinct (block, group) entries
+// among curve-far pairs (band_col < 0), per block. Replaces
+// ops/bands.py's np.unique over E_far int64 keys (a full sort of the
+// far-pair key array plus several 100-MB temporaries): pairs arrive
+// pi-sorted, so groups dedupe block-locally against a small reusable
+// scratch. groups_flat must have capacity >= the number of far pairs
+// (each far pair contributes at most one distinct group). Writes
+// grp_count [nb], offsets [nb+1] (prefix sums), and the per-block
+// ASCENDING group ids to groups_flat (matching np.unique order).
+// Returns the total number of distinct entries.
+int64_t sphgrid_far_groups(const int32_t* __restrict pi,
+                           const int32_t* __restrict pj,
+                           const int32_t* __restrict band_col, int64_t e,
+                           int64_t P, int64_t g, int64_t nb,
+                           int32_t* __restrict grp_count,
+                           int64_t* __restrict offsets,
+                           int32_t* __restrict groups_flat) {
+  std::vector<int32_t> scratch;
+  scratch.reserve(1024);
+  int64_t total = 0, k = 0;
+  offsets[0] = 0;
+  for (int64_t b = 0; b < nb; ++b) {
+    scratch.clear();
+    for (; k < e && pi[k] / P == b; ++k) {
+      if (band_col[k] >= 0) continue;
+      scratch.push_back(pj[k] / (int32_t)g);
+    }
+    std::sort(scratch.begin(), scratch.end());
+    scratch.erase(std::unique(scratch.begin(), scratch.end()),
+                  scratch.end());
+    grp_count[b] = (int32_t)scratch.size();
+    std::memcpy(groups_flat + total, scratch.data(),
+                scratch.size() * sizeof(int32_t));
+    total += (int64_t)scratch.size();
+    offsets[b + 1] = total;
+  }
+  return total;
+}
+
+// Far-group structure, phase C: given the bucket cuts (from the Python
+// DP over grp_count), derive every per-block and per-pair quantity the
+// far-table fill needs in ONE linear pass — replacing the per-bucket
+// searchsorted / repeat / cumsum numpy chains:
+//   block_bucket [nb]  bucket id of each block (-1 if no far groups)
+//   block_row    [nb]  row of the block within its bucket's table
+//   bucket_nblocks/bucket_npairs [T]
+//   pair_bucket  [e]   bucket id per pair (-1 for band pairs)
+//   pair_row     [e]   row of the pair's block in its bucket table
+//   pair_col     [e]   (position of the pair's group) * g + pj % g
+// Pairs stay in pi order, so per bucket the row sequence is
+// non-decreasing — the contract of sphgrid_fill_cast_bf16.
+void sphgrid_far_meta(const int32_t* __restrict pi,
+                      const int32_t* __restrict pj,
+                      const int32_t* __restrict band_col, int64_t e,
+                      int64_t P, int64_t g, int64_t nb,
+                      const int32_t* __restrict grp_count,
+                      const int64_t* __restrict offsets,
+                      const int32_t* __restrict groups_flat,
+                      const int64_t* __restrict cuts, int64_t T,
+                      int8_t* __restrict block_bucket,
+                      int32_t* __restrict block_row,
+                      int64_t* __restrict bucket_nblocks,
+                      int64_t* __restrict bucket_npairs,
+                      int8_t* __restrict pair_bucket,
+                      int32_t* __restrict pair_row,
+                      int32_t* __restrict pair_col) {
+  for (int64_t t = 0; t < T; ++t) bucket_nblocks[t] = bucket_npairs[t] = 0;
+  for (int64_t b = 0; b < nb; ++b) {
+    const int32_t c = grp_count[b];
+    if (c == 0) {
+      block_bucket[b] = -1;
+      block_row[b] = -1;
+      continue;
+    }
+    // first bucket t with c <= cuts[t]  (== np.searchsorted(cuts, c))
+    int64_t t = 0;
+    while (t < T && c > cuts[t]) ++t;
+    block_bucket[b] = (int8_t)t;
+    block_row[b] = (int32_t)bucket_nblocks[t]++;
+  }
+  for (int64_t k = 0; k < e; ++k) {
+    if (band_col[k] >= 0) {
+      pair_bucket[k] = -1;
+      continue;
+    }
+    const int64_t b = pi[k] / P;
+    const int32_t grp = pj[k] / (int32_t)g;
+    const int32_t* lo = groups_flat + offsets[b];
+    const int32_t* hi = groups_flat + offsets[b + 1];
+    const int64_t pos = std::lower_bound(lo, hi, grp) - lo;
+    const int8_t t = block_bucket[b];
+    pair_bucket[k] = t;
+    pair_row[k] = block_row[b];
+    pair_col[k] = (int32_t)(pos * g + pj[k] % g);
+    ++bucket_npairs[t];
   }
 }
 

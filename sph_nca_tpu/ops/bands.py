@@ -816,61 +816,115 @@ def build_band_engine(
 
     _tick("band table")
     # ---- far structure ---------------------------------------------------
-    far = ~in_band
-    Rg = R // g + 1  # (block, group) key multiplier
-    if far.any():
-        # int64 keys: block * Rg overflows int32 at 1M+ points
-        ubg = np.unique(bi[far].astype(np.int64) * Rg + (pj[far] // g))
-        ub, ug = ubg // Rg, ubg % Rg
-        grp_count = np.bincount(ub, minlength=nb)
-    else:
-        ub = ug = np.zeros(0, np.int64)
-        grp_count = np.zeros(nb, np.int64)
+    # Native one-pass assembly when available: block-local group dedup
+    # (phase A) + per-pair bucket/row/col derivation (phase C) — the
+    # numpy path's np.unique over E_far int64 keys plus per-bucket
+    # searchsorted/repeat chains profiled ~5 s of the 1M build.
+    nat_far = None
+    if _native.available():
+        e_far = int(len(pi) - np.count_nonzero(in_band))
+        nf = _native.far_groups(pi, pj, band_col, e_far, P, g, nb)
+        if nf is not None:
+            gc_n, off_n, gflat_n = nf
+            grp_count = gc_n.astype(np.int64)
+            cuts = _bucket_cuts(grp_count, far_buckets)
+            nat_far = _native.far_meta(
+                pi, pj, band_col, P, g, nb, gc_n, off_n, gflat_n,
+                np.asarray(cuts, np.int64),
+            )
+    if nat_far is None:
+        far = ~in_band
+        Rg = R // g + 1  # (block, group) key multiplier
+        if far.any():
+            # int64 keys: block * Rg overflows int32 at 1M+ points
+            ubg = np.unique(bi[far].astype(np.int64) * Rg + (pj[far] // g))
+            ub, ug = ubg // Rg, ubg % Rg
+            grp_count = np.bincount(ub, minlength=nb)
+        else:
+            ub = ug = np.zeros(0, np.int64)
+            grp_count = np.zeros(nb, np.int64)
+        cuts = _bucket_cuts(grp_count, far_buckets)
 
-    cuts = _bucket_cuts(grp_count, far_buckets)
+    _tick("far group scan")
     far_blocks, far_groups_l, far_tabs, far_gs = [], [], [], []
     order_rows = []  # bucket-concat row order (block ids)
-    # bucket id per group-entry and per far PAIR, computed ONCE (the
-    # per-bucket `grp_count[bi]` gathers were 16 x 244 MB of temporaries
-    # at 1M points); bucket t covers widths (cuts[t-1], cuts[t]]
-    cuts_arr = np.asarray(cuts, np.int64)
-    gc32 = grp_count.astype(np.int32)
-    ub_bucket = np.searchsorted(cuts_arr, gc32[ub])
-    pair_bucket = np.where(
-        far, np.searchsorted(cuts_arr, gc32[bi]).astype(np.int8),
-        np.int8(-1),
-    )
-    lo = 0
-    for t_idx, wmax in enumerate(cuts):
-        lo0 = lo
-        blks = np.where((grp_count > lo) & (grp_count <= wmax))[0]
-        lo = wmax
-        if len(blks) == 0:
-            continue
-        far_blocks.append(blks.astype(np.int32))
-        order_rows.append(blks)
-        row_of = np.full(nb, -1, np.int64)
-        row_of[blks] = np.arange(len(blks))
-        # this bucket's (block, group) entries — ubg is sorted, block-major
-        selb = ub_bucket == t_idx
-        bsel, gsel = ub[selb], ug[selb]
-        cnts = np.bincount(row_of[bsel], minlength=len(blks))
-        startp = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-        posn = np.arange(len(bsel)) - np.repeat(startp, cnts)
-        grp_list = np.zeros((len(blks), wmax), np.int64)
-        grp_list[row_of[bsel], posn] = gsel  # pad entries stay group 0
-        far_groups_l.append(grp_list.astype(np.int32))
-        # pair columns: (position of the pair's group in grp_list) * g + rj%g
-        keys_bg = bsel * Rg + gsel  # sorted ascending (subset of ubg)
-        psel = np.flatnonzero(pair_bucket == t_idx)
-        ppos = np.searchsorted(
-            keys_bg, bi[psel].astype(np.int64) * Rg + pj[psel] // g
+    if nat_far is not None:
+        (block_bucket, _block_row, _bnb, _bnp,
+         pair_bucket_n, pair_row_n, pair_col_n) = nat_far
+        for t_idx, wmax in enumerate(cuts):
+            blks = np.flatnonzero(block_bucket == t_idx)
+            if len(blks) == 0:
+                continue
+            far_blocks.append(blks.astype(np.int32))
+            order_rows.append(blks)
+            # group lists from the phase-A flat segments (ascending ids,
+            # pad entries stay group 0)
+            cnts = grp_count[blks]
+            grp_list = np.zeros((len(blks), wmax), np.int32)
+            if cnts.sum():
+                rows_idx = np.repeat(np.arange(len(blks)), cnts)
+                startp = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+                col_idx = np.arange(int(cnts.sum())) - np.repeat(
+                    startp, cnts
+                )
+                gather = np.repeat(off_n[blks], cnts) + col_idx
+                grp_list[rows_idx, col_idx] = gflat_n[gather]
+            far_groups_l.append(grp_list)
+            psel = np.flatnonzero(pair_bucket_n == t_idx)
+            _tick(
+                f"far bucket {t_idx} assembly "
+                f"({len(blks)} blk, {len(psel)} pr)"
+            )
+            tab, gst = fill_table(
+                psel, pair_col_n[psel], pair_row_n[psel], len(blks),
+                wmax * g,
+            )
+            _tick(f"far bucket {t_idx} fill")
+            far_tabs.append(tab)
+            far_gs.append(gst)
+    else:
+        # numpy fallback: bucket id per group-entry and per far PAIR,
+        # computed ONCE (the per-bucket `grp_count[bi]` gathers were
+        # 16 x 244 MB of temporaries at 1M points); bucket t covers
+        # widths (cuts[t-1], cuts[t]]
+        cuts_arr = np.asarray(cuts, np.int64)
+        gc32 = grp_count.astype(np.int32)
+        ub_bucket = np.searchsorted(cuts_arr, gc32[ub])
+        pair_bucket = np.where(
+            far, np.searchsorted(cuts_arr, gc32[bi]).astype(np.int8),
+            np.int8(-1),
         )
-        col = posn[ppos] * g + pj[psel] % g
-        tab, gst = fill_table(psel, col, row_of[bi[psel]], len(blks),
-                              wmax * g)
-        far_tabs.append(tab)
-        far_gs.append(gst)
+        lo = 0
+        for t_idx, wmax in enumerate(cuts):
+            blks = np.where((grp_count > lo) & (grp_count <= wmax))[0]
+            lo = wmax
+            if len(blks) == 0:
+                continue
+            far_blocks.append(blks.astype(np.int32))
+            order_rows.append(blks)
+            row_of = np.full(nb, -1, np.int64)
+            row_of[blks] = np.arange(len(blks))
+            # this bucket's (block, group) entries — ubg is sorted,
+            # block-major
+            selb = ub_bucket == t_idx
+            bsel, gsel = ub[selb], ug[selb]
+            cnts = np.bincount(row_of[bsel], minlength=len(blks))
+            startp = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            posn = np.arange(len(bsel)) - np.repeat(startp, cnts)
+            grp_list = np.zeros((len(blks), wmax), np.int64)
+            grp_list[row_of[bsel], posn] = gsel  # pad entries stay grp 0
+            far_groups_l.append(grp_list.astype(np.int32))
+            # pair columns: (group position in grp_list) * g + rj%g
+            keys_bg = bsel * Rg + gsel  # sorted (subset of ubg)
+            psel = np.flatnonzero(pair_bucket == t_idx)
+            ppos = np.searchsorted(
+                keys_bg, bi[psel].astype(np.int64) * Rg + pj[psel] // g
+            )
+            col = posn[ppos] * g + pj[psel] % g
+            tab, gst = fill_table(psel, col, row_of[bi[psel]], len(blks),
+                                  wmax * g)
+            far_tabs.append(tab)
+            far_gs.append(gst)
 
     _tick("far tables")
     order_rows.append(np.where(grp_count == 0)[0])

@@ -164,3 +164,46 @@ def test_band_build_native_matches_numpy_fallback(rng):
                                    atol=1e-7)
     np.testing.assert_array_equal(np.asarray(e_nat.slot_of_particle),
                                   np.asarray(e_np.slot_of_particle))
+
+
+@pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+def test_far_structure_native_matches_numpy(rng):
+    """The native far-structure assembly (far_groups + far_meta, the
+    round-4 one-pass replacement for np.unique / per-bucket
+    searchsorted chains) produces a bit-identical engine to the numpy
+    fallback across dense / periodic / sparse-far geometries — every
+    pytree leaf, including group lists, bucket tables and row order."""
+    import jax
+
+    import sph_nca_tpu.native as nmod
+    from sph_nca_tpu.ops.bands import build_band_engine
+
+    cases = [
+        (rng.uniform(0, 1, (5000, 2)).astype(np.float32), 0.04, None),
+        (rng.uniform(0, 1, (5000, 2)).astype(np.float32), 0.04, 1.0),
+        (rng.uniform(0, 1, (4000, 3)).astype(np.float32), 0.06, None),
+        (rng.uniform(0, 1, (128, 2)).astype(np.float32), 0.2, None),
+    ]
+    for x, h, period in cases:
+        e_nat = build_band_engine(x, h, period=period)
+        # mask ONLY the far-structure entry point so both legs share the
+        # same (native) table fills — the far assembly must then be
+        # bit-identical, not merely allclose
+        saved = nmod.far_groups
+        nmod.far_groups = lambda *a, **k: None
+        try:
+            e_np = build_band_engine(x, h, period=period)
+        finally:
+            nmod.far_groups = saved
+        la = jax.tree_util.tree_leaves(e_nat)
+        lb = jax.tree_util.tree_leaves(e_np)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape and a.dtype == b.dtype
+            np.testing.assert_array_equal(
+                a.astype(np.float64) if a.dtype.kind == "f" else a,
+                b.astype(np.float64) if b.dtype.kind == "f" else b,
+            )
