@@ -108,6 +108,7 @@ def outage_record(detail: str) -> dict:
         "vs_baseline": LAST_GOOD / NORTH_STAR,
         "error": "tpu_unavailable",
         "value_is_last_good": True,
+        "last_good": LAST_GOOD,
         "last_good_round": LAST_GOOD_ROUND,
         "detail": detail,
     }

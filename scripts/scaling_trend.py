@@ -28,16 +28,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def fibonacci_sphere(n, radius=0.8):
-    i = np.arange(n, dtype=np.float64)
-    phi = np.pi * (3.0 - np.sqrt(5.0))
-    y = 1.0 - 2.0 * (i + 0.5) / n
-    r = np.sqrt(np.maximum(1.0 - y * y, 0.0))
-    th = phi * i
-    return (radius * np.stack(
-        [r * np.cos(th), y, r * np.sin(th)], axis=-1
-    )).astype(np.float32)
+from bench import fibonacci_sphere  # noqa: E402 — same geometry as the bench
 
 
 def main():

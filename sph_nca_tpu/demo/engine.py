@@ -61,6 +61,38 @@ def poly6_norm(h, d):
     return 315.0 / (64.0 * np.pi * h**9)
 
 
+def wendland_c2(d2, h):
+    q = np.sqrt(d2) / h
+    return np.where(q < 1.0, (1.0 - q) ** 4 * (4.0 * q + 1.0), 0.0)
+
+
+def wendland_c2_norm(h, d):
+    if d == 2:
+        return 7.0 / (np.pi * h**2)
+    return 21.0 / (2.0 * np.pi * h**3)
+
+
+def wendland_c4(d2, h):
+    q2 = d2 / (h * h)
+    q = np.sqrt(q2)
+    return np.where(
+        q < 1.0, (1.0 - q) ** 6 * (35.0 * q2 + 18.0 * q + 3.0) / 3.0, 0.0
+    )
+
+
+def wendland_c4_norm(h, d):
+    if d == 2:
+        return 9.0 / (np.pi * h**2)
+    return 495.0 / (32.0 * np.pi * h**3)
+
+
+SMOOTHING = {
+    "poly6": (poly6, poly6_norm),
+    "wendlandC2": (wendland_c2, wendland_c2_norm),
+    "wendlandC4": (wendland_c4, wendland_c4_norm),
+}
+
+
 def spiky_norm(h, d):
     if d == 2:
         return 10.0 / (np.pi * h**5)
@@ -83,6 +115,7 @@ class NumpyEngine:
         normalize_perception: float = -1.0,
         period=None,
         seed: int = 0,
+        smoothing: str = "poly6",
     ):
         self.x = np.asarray(x, np.float32)
         self.n, self.d = self.x.shape
@@ -102,12 +135,13 @@ class NumpyEngine:
         self.nbrs = [
             self.grid.neighbors(i, self.x, period) for i in range(self.n)
         ]
-        sig_w = poly6_norm(h, self.d)
+        w_fn, w_norm = SMOOTHING[smoothing]
+        sig_w = w_norm(h, self.d)
         sig_g = spiky_norm(h, self.d)
         inv_v = np.zeros(self.n, np.float32)
         for i, js in enumerate(self.nbrs):
             r = self._disp(i, js)
-            inv_v[i] = sig_w * poly6(np.sum(r * r, -1), h).sum()
+            inv_v[i] = sig_w * w_fn(np.sum(r * r, -1), h).sum()
         self.v = 1.0 / inv_v
         # per-edge weights
         self.wv = []
@@ -115,7 +149,7 @@ class NumpyEngine:
         for i, js in enumerate(self.nbrs):
             r = self._disp(i, js)
             d2 = np.sum(r * r, -1)
-            self.wv.append(sig_w * poly6(d2, h) * self.v[js])
+            self.wv.append(sig_w * w_fn(d2, h) * self.v[js])
             dd = np.sqrt(d2)
             mag = np.where(
                 (dd > 0) & (dd < h),

@@ -132,6 +132,7 @@ class DemoState:
             use_alpha=use_alpha,
             normalize_perception=1.0 / h,
             period=period,
+            smoothing=cfgj.get("smoothing", "poly6"),
         )
         self.x = x
         self.reset()

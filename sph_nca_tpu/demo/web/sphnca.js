@@ -27,12 +27,39 @@
 function poly6Norm2D(h) { return 4.0 / (Math.PI * Math.pow(h, 8)); }
 function spikyNorm2D(h) { return 10.0 / (Math.PI * Math.pow(h, 5)); }
 
+// smoothing-kernel table (config.smoothing selects; poly6 = reference
+// default; Wendland C2/C4 match ops/kernels.py / kernels_impl.py:56-115)
+const SMOOTHING_2D = {
+  poly6: {
+    norm: poly6Norm2D,
+    w: (d2, h) => { const q = h * h - d2; return q > 0 ? q * q * q : 0; },
+  },
+  wendlandC2: {
+    norm: (h) => 7.0 / (Math.PI * h * h),
+    w: (d2, h) => {
+      const q = Math.sqrt(d2) / h;
+      if (q >= 1) return 0;
+      const u = 1 - q;
+      return u * u * u * u * (4 * q + 1);
+    },
+  },
+  wendlandC4: {
+    norm: (h) => 9.0 / (Math.PI * h * h),
+    w: (d2, h) => {
+      const q2 = d2 / (h * h), q = Math.sqrt(q2);
+      if (q >= 1) return 0;
+      const u = 1 - q, u2 = u * u, u3 = u2 * u;
+      return u3 * u3 * (35 * q2 + 18 * q + 3) / 3;
+    },
+  },
+};
+
 // deterministic xorshift32 — the demo's fire-mask / init RNG
 export function makeRng(seed) {
   let s = (seed >>> 0) || 0x9e3779b9;
   return function () {
     s ^= s << 13; s >>>= 0;
-    s ^= s >> 17;
+    s ^= s >>> 17;  // logical shift: true xorshift32 (>> would sign-fill)
     s ^= s << 5; s >>>= 0;
     return s / 4294967296;
   };
@@ -187,7 +214,10 @@ export class Engine {
     // neighbor structure + baked pair weights (periodic wrap for
     // texture-mode models, like the trainer's --wrap)
     const g = buildCSR(x, this.h, !this.useAlpha);
-    const sw = poly6Norm2D(this.h), sg = spikyNorm2D(this.h);
+    const smoothing = SMOOTHING_2D[cfg.smoothing ?? "poly6"];
+    if (!smoothing) throw new Error(`unknown smoothing ${cfg.smoothing}`);
+    const wfn = smoothing.w;
+    const sw = smoothing.norm(this.h), sg = spikyNorm2D(this.h);
     const ne = g.idx.length;
     this.ptr = g.ptr; this.idx = g.idx;
     this.wv = new Float32Array(ne);
@@ -199,8 +229,7 @@ export class Engine {
     for (let i = 0; i < this.n; i++) {
       let s = 0;
       for (let e = g.ptr[i]; e < g.ptr[i + 1]; e++) {
-        const q = this.h * this.h - g.d2[e];
-        s += q * q * q;
+        s += wfn(g.d2[e], this.h);
       }
       v[i] = 1.0 / (sw * s);
     }
@@ -208,8 +237,7 @@ export class Engine {
     for (let i = 0; i < this.n; i++) {
       for (let e = g.ptr[i]; e < g.ptr[i + 1]; e++) {
         const j = g.idx[e];
-        const q = this.h * this.h - g.d2[e];
-        this.wv[e] = sw * q * q * q * v[j];
+        this.wv[e] = sw * wfn(g.d2[e], this.h) * v[j];
         const d = Math.sqrt(g.d2[e]);
         if (d > 0 && d < this.h) {
           const mag = 3.0 * (this.h - d) * (this.h - d) / d;

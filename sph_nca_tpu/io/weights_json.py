@@ -52,6 +52,7 @@ def load_weights_json(path: str) -> ImportedModel:
     hidden = int(cfg_json.get("hidden_features", w1.shape[1]))
     out_features = int(cfg_json.get("output_features", w2.shape[1]))
     update_rule = cfg_json.get("update_rule", "gated")
+    smoothing = cfg_json.get("smoothing", "poly6")
     fire_rate = float(cfg_json.get("fire_rate", 0.5))
     h = float(cfg_json.get("h", 0.08))
     mode = cfg_json.get("mode", "image")
@@ -62,6 +63,7 @@ def load_weights_json(path: str) -> ImportedModel:
         hidden=hidden,
         fire_rate=fire_rate,
         update_rule=update_rule,
+        smoothing=smoothing,
         # The web demo bakes gA * h/h0 into its input prep
         # (docs/nca.js:225-231); shipped weights are h0-normalized.
         normalize_perception=1.0 / h,
@@ -105,6 +107,10 @@ def save_weights_json(
             "output_features": cfg.out_features,
             "fire_rate": cfg.fire_rate,
             "update_rule": cfg.update_rule,
+            # extension key: absent in reference JSONs (= poly6); both
+            # demo engines honor it so Wendland-trained checkpoints
+            # render with the kernel they were trained on
+            "smoothing": getattr(cfg, "smoothing", "poly6"),
             "h": h,
             "mode": mode,
         },

@@ -375,10 +375,18 @@ def _update_core(
         else jnp.float32(1.0)
     ydt = jnp.dtype(mlp_dtype) if mlp_dtype else SB2.dtype
     bf = b * f
+    # HIGH = bf16x3 passes (~tf32), matching apply_mlp's documented
+    # choice; HIGHEST (full f32) tripled the training backward's GEMM
+    # time for accuracy beyond the reference's f32-fastmath CUDA.
+    # Shared between both MLP impls so the A/B compares equal numerics.
+    prec = (
+        jax.lax.Precision.DEFAULT if mlp_dtype else jax.lax.Precision.HIGH
+    )
 
     if (mlp_impl or _MLP_IMPL_DEFAULT) == "sublane":
         return _update_core_sublane(
-            params, cfg, SB2, gaB, b, f, key, h, fire_rate, ydt, scale
+            params, cfg, SB2, gaB, b, f, key, h, fire_rate, ydt, scale,
+            prec,
         )
 
     w1x, b1x, w2x, b2x = _blockdiag_mlp_weights(
@@ -392,12 +400,6 @@ def _update_core(
     w1a = w1x[0]
     w1g = (jnp.asarray(scale, ydt) * w1x[1:]).reshape(
         2 * bf, w1x.shape[-1]
-    )
-    # HIGH = bf16x3 passes (~tf32), matching apply_mlp's documented
-    # choice; HIGHEST (full f32) tripled the training backward's GEMM
-    # time for accuracy beyond the reference's f32-fastmath CUDA
-    prec = (
-        jax.lax.Precision.DEFAULT if mlp_dtype else jax.lax.Precision.HIGH
     )
     # first 2*B*F perception lanes = gA_x, gA_y (reference nca.py:23-31
     # uses only x, y gradient components even in 3D); gaB carries D*B*F
@@ -448,6 +450,7 @@ def _update_core_sublane(
     fire_rate: float,
     ydt,
     scale,
+    prec,
 ) -> Array:
     """Sublane (sample-major) update MLP: reshape the lane-batched state
     to [rows*B, F] rows and contract with the SHARED per-sample weights
@@ -479,10 +482,6 @@ def _update_core_sublane(
     w1 = params.w1.astype(ydt)
     w1 = jnp.concatenate(
         [w1[:f], jnp.asarray(scale, ydt) * w1[f:]], axis=0
-    )
-    prec = (
-        jax.lax.Precision.DEFAULT if ydt == jnp.bfloat16
-        else jax.lax.Precision.HIGH
     )
     hm = jnp.maximum(
         jnp.matmul(y, w1, precision=prec) + params.b1.astype(ydt), 0.0

@@ -633,6 +633,14 @@ def build_band_engine(
     # poly6 additionally rides the fused native fill below
     K.get_smoothing_kernel(smoothing)
     K.get_gradient_kernel(gradient_kernel)
+    if gradient_kernel != "spiky":
+        # the fill paths (numpy fill_table and the native fused fill)
+        # bake the SPIKY magnitude 3(h-d)^2/d; a differently-shaped
+        # gradient kernel would silently produce wrong tables
+        raise NotImplementedError(
+            f"band engine bakes spiky gradient magnitudes; "
+            f"gradient_kernel={gradient_kernel!r} needs its own fill"
+        )
     import os as _os
     import time as _time
 

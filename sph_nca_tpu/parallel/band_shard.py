@@ -383,10 +383,7 @@ def _halo_rows(Xflat_g: Array, loc: "BandShards",
             buf = Xflat_g[sidx]  # [Edelta, gL]
             perm = [(s, (s + delta) % k) for s in range(k)]
             parts.append(jax.lax.ppermute(buf, PARTICLE_AXIS, perm))
-        if not parts:
-            return jnp.zeros(
-                (loc.halo_src.shape[0], Xflat_g.shape[-1]), Xflat_g.dtype
-            )
+        # st.deltas non-empty -> one part per delta; never empty here
         return jnp.concatenate(parts, axis=0)[loc.halo_src]
     exp = Xflat_g[loc.export_idx]  # [E, gL]
     allb = jax.lax.all_gather(exp, PARTICLE_AXIS, axis=0)  # [k, E, gL]

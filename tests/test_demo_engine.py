@@ -66,6 +66,47 @@ def test_deterministic_step_matches_jax():
     assert np.allclose(nA_np, nA_jax, rtol=1e-3, atol=1e-4)
 
 
+def test_wendland_volume_and_blur_match():
+    """The demo backend honors cfg.smoothing (Wendland-trained models
+    must not silently render through poly6)."""
+    h = 0.2
+    x = grange((20, 20), jnp.asarray([-1.0, -1.0]), jnp.asarray([2.0, 2.0]))
+    x = x.reshape(-1, 2)
+    cfg = SPHNCAConfig(channels=8, hidden=32, normalize_perception=1.0 / h,
+                       smoothing="wendlandC2")
+    params = init_params(jax.random.key(0), cfg)
+    dims = ops.default_dims(h)
+    mpc, k = ops.suggest_capacity(np.asarray(x), h, dims)
+    g = ops.build_graph(x, h, dims, max_per_cell=mpc, k=k,
+                        smoothing="wendlandC2")
+    eng = NumpyEngine(
+        np.asarray(x),
+        {k_: np.asarray(v) for k_, v in params._asdict().items()},
+        h=h,
+        channels=cfg.channels,
+        normalize_perception=cfg.normalize_perception,
+        smoothing="wendlandC2",
+    )
+    assert np.allclose(eng.v, np.asarray(g.v), rtol=1e-4)
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(x.shape[0], 8)).astype(np.float32)
+    from sph_nca_tpu.ops.neighbor_ops import graph_blur
+
+    assert np.allclose(
+        eng.blur(A), np.asarray(graph_blur(g, jnp.asarray(A))),
+        rtol=1e-3, atol=1e-4,
+    )
+    # and it genuinely differs from the poly6 weighting
+    eng_p6 = NumpyEngine(
+        np.asarray(x),
+        {k_: np.asarray(v) for k_, v in params._asdict().items()},
+        h=h,
+        channels=cfg.channels,
+        normalize_perception=cfg.normalize_perception,
+    )
+    assert not np.allclose(eng.v, eng_p6.v, rtol=1e-3)
+
+
 def test_multi_step_trajectory_stays_close():
     """5 deterministic steps: independent implementations stay within
     float tolerance (errors compound, so tolerance grows)."""

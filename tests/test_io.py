@@ -30,6 +30,19 @@ def test_weights_json_roundtrip(tmp_path):
     assert m.mode == "image"
     for a, b in zip(m.params, p):
         assert np.allclose(np.asarray(a), np.asarray(b))
+    # reference JSONs carry no smoothing key -> default
+    assert m.cfg.smoothing == "poly6"
+
+
+def test_weights_json_roundtrips_smoothing(tmp_path):
+    """Wendland-trained checkpoints must render with their own kernel
+    in the demos (the JSON is the demo interchange)."""
+    cfg = SPHNCAConfig(channels=8, hidden=16, smoothing="wendlandC2")
+    p = init_params(jax.random.key(0), cfg)
+    path = str(tmp_path / "w.json")
+    save_weights_json(path, p, cfg, h=0.1, mode="texture")
+    m = load_weights_json(path)
+    assert m.cfg.smoothing == "wendlandC2"
 
 
 @pytest.mark.skipif(
