@@ -56,7 +56,14 @@ def main(argv=None) -> int:
         "the exemplar image instead of PSNR/SSIM (OT/style-trained "
         "models have no pixel-aligned target)",
     )
+    p.add_argument("--platform", type=str, default="auto",
+                   help="JAX platform (auto/cpu/tpu); cpu rides out "
+                        "TPU-tunnel outages")
     args = p.parse_args(argv)
+
+    from ..utils.profiling import select_platform
+
+    select_platform(args.platform)
 
     from ..eval import density_sweep, texture_eval
     from ..io import load_checkpoint, load_weights_json

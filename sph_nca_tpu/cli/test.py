@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export every n-th step")
     p.add_argument("--engine", choices=["band", "cells", "graph"],
                    default="band")
+    p.add_argument("--platform", type=str, default="auto",
+                   help="JAX platform (auto/cpu/tpu); cpu rides out "
+                        "TPU-tunnel outages")
     return p
 
 
@@ -106,6 +109,10 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
+
+    from ..utils.profiling import select_platform
+
+    select_platform(args.platform)
 
     from .. import ops
     from ..models import rollout_states, to_rgba

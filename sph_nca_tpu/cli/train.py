@@ -140,6 +140,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the full-resume sidecar (pool + RNG states) "
                         "with each checkpoint; the previous checkpoint's "
                         "sidecar is pruned to bound disk use")
+    p.add_argument("--platform", type=str, default="auto",
+                   help="JAX platform: auto (default resolution), cpu, "
+                        "tpu, ... — use cpu to train through a TPU-tunnel "
+                        "outage (env SPH_NCA_PLATFORM also honored)")
     p.add_argument("--max_rss_gb", type=float, default=0.0,
                    help="if >0, save a resumable checkpoint and exit with "
                         "code 42 when host RSS exceeds this many GB (rerun "
@@ -166,8 +170,9 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from ..utils.profiling import enable_compilation_cache
+    from ..utils.profiling import enable_compilation_cache, select_platform
 
+    select_platform(args.platform)
     enable_compilation_cache()
 
     from .. import ops

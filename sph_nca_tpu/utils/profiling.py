@@ -26,6 +26,23 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+def select_platform(platform: str = "auto") -> None:
+    """Pin the JAX platform BEFORE the first computation.
+
+    ``auto`` leaves JAX's default resolution alone. Anything else (e.g.
+    ``cpu``) is applied via ``jax.config.update("jax_platforms", ...)``
+    — the JAX_PLATFORMS *env var* is ignored once a PJRT plugin (axon)
+    is registered, and a downed tunnel makes backend init hang
+    indefinitely, so the CLIs expose this as ``--platform cpu``."""
+    p = platform or "auto"
+    if p == "auto":
+        p = os.environ.get("SPH_NCA_PLATFORM", "auto")
+    if p != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", p)
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Point JAX at a persistent on-disk compilation cache so repeated
     CLI invocations (checkpoint-restart loops, eval sweeps) skip the
