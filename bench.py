@@ -173,7 +173,31 @@ def run_bench() -> float:
     return BATCH * N_POINTS * STEPS / best
 
 
+def run_bench_watchdogged() -> float:
+    """run_bench in a subprocess with a wall-clock budget — an axon
+    tunnel that dies MID-benchmark stalls the rollout without raising,
+    which an in-process try/except cannot catch."""
+    budget = float(os.environ.get("SPH_NCA_BENCH_BUDGET", "900"))
+    proc = subprocess.run(
+        [sys.executable, __file__],
+        env={**os.environ, "SPH_NCA_BENCH_INNER": "1"},
+        capture_output=True,
+        timeout=budget,
+        text=True,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_VALUE "):
+            return float(line.split()[1])
+    raise RuntimeError(
+        f"inner bench rc={proc.returncode}: {proc.stderr[-400:]}"
+    )
+
+
 def main():
+    if os.environ.get("SPH_NCA_BENCH_INNER"):
+        print(f"BENCH_VALUE {run_bench()}")
+        return 0
+
     up = False
     for attempt in range(PROBE_ATTEMPTS):
         if probe_tpu():
@@ -191,7 +215,11 @@ def main():
         return 0
 
     try:
-        value = run_bench()
+        value = run_bench_watchdogged()
+    except subprocess.TimeoutExpired:
+        emit(outage_record("bench hung after probe OK (tunnel stalled "
+                           "mid-run); wall budget exhausted"))
+        return 0
     except Exception as e:  # tunnel died mid-run, OOM, etc.
         emit(outage_record(f"bench failed after probe OK: {e!r}"[:500]))
         return 0
