@@ -151,12 +151,26 @@ def run_bench() -> float:
     t0r = jax.random.normal(jax.random.key(5), (BATCH, N_POINTS, 3))
     tan0 = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
 
+    # unroll=4 + donated state/tangent carries: swept on the real chip
+    # (runs/tpu_extra_0819.jsonl) — 110.3M (unroll=2) -> 113.4M pps;
+    # unroll=8 and batch=16 both regress.
     roll = jax.jit(
         lambda e, A, t, key: rollout_mesh_batched(
             params, cfg, e, A, nrm, t, key, STEPS, h,
-            mlp_dtype="bfloat16", unroll=2,
-        )[0]
+            mlp_dtype="bfloat16", unroll=4,
+        )[0],
+        donate_argnums=(1, 2),
     )
+
+    def fresh_inputs(seed):
+        A = jax.random.uniform(
+            jax.random.key(seed), (BATCH, N_POINTS, cfg.channels)
+        )
+        t0r_ = jax.random.normal(
+            jax.random.key(seed + 100), (BATCH, N_POINTS, 3)
+        )
+        tan = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r_)
+        return A, tan
 
     # warmup/compile; force full completion with a host readback
     # (block_until_ready alone does not block under the axon tunnel)
@@ -164,9 +178,11 @@ def run_bench() -> float:
 
     best = float("inf")
     for rep in range(3):
+        A_in, t_in = fresh_inputs(3 + rep)  # donated buffers: one use each
+        jax.block_until_ready((A_in, t_in))
         t0 = time.perf_counter()
         np.asarray(
-            roll(eng, A0, tan0, jax.random.key(3 + rep)).ravel()[:1]
+            roll(eng, A_in, t_in, jax.random.key(3 + rep)).ravel()[:1]
         )
         best = min(best, time.perf_counter() - t0)
 
