@@ -51,12 +51,12 @@ METRIC = (
 )
 UNIT = "particle-steps/sec"
 
-# Best verified single-chip measurement from a prior round (RESULTS.md
-# round 3, builder-measured on the same v5e via the tunnel). Reported —
-# clearly flagged — only when the TPU is unreachable for the whole
-# probe window.
-LAST_GOOD = 103.2e6
-LAST_GOOD_ROUND = 3
+# Best verified driver-contract bench.py measurement (round 5,
+# 2026-08-19, runs/bench_r5.json: 111.8M on the real chip with the
+# current defaults). Reported — clearly flagged — only when the TPU is
+# unreachable for the whole probe window.
+LAST_GOOD = 111.8e6
+LAST_GOOD_ROUND = 5
 
 # Probe budget: attempts x (probe timeout + sleep). Overridable so a
 # human can shorten it interactively.
@@ -118,7 +118,9 @@ def run_bench() -> float:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sph_nca_jax_cache")
+    from sph_nca_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # CPU-keyed: no cross-host AOT reuse (SIGILL risk)
 
     from sph_nca_tpu.models import SPHNCAConfig, init_params
     from sph_nca_tpu.models.surface import (
@@ -175,7 +177,12 @@ def run_bench() -> float:
     # warmup/compile; force full completion with a host readback
     # (block_until_ready alone does not block under the axon tunnel)
     np.asarray(roll(eng, A0, tan0, jax.random.key(2)).ravel()[:1])
+    print("BENCH_PROGRESS warmup_done", flush=True)
 
+    # Emit the running-best after EVERY completed rep so a tunnel stall
+    # mid-run loses only the remaining reps, not the whole measurement
+    # (VERDICT r4 item 1a: round-4's driver bench stalled after warmup
+    # and reported nothing).
     best = float("inf")
     for rep in range(3):
         A_in, t_in = fresh_inputs(3 + rep)  # donated buffers: one use each
@@ -185,27 +192,77 @@ def run_bench() -> float:
             roll(eng, A_in, t_in, jax.random.key(3 + rep)).ravel()[:1]
         )
         best = min(best, time.perf_counter() - t0)
+        print(f"BENCH_VALUE {BATCH * N_POINTS * STEPS / best}", flush=True)
 
     return BATCH * N_POINTS * STEPS / best
 
 
-def run_bench_watchdogged() -> float:
+def run_bench_watchdogged() -> tuple:
     """run_bench in a subprocess with a wall-clock budget — an axon
     tunnel that dies MID-benchmark stalls the rollout without raising,
-    which an in-process try/except cannot catch."""
+    which an in-process try/except cannot catch.
+
+    Streams the child's stdout and keeps the latest BENCH_VALUE line, so
+    a stall after rep k still yields the best-of-k measurement (flagged
+    partial) instead of losing the run. Returns (value, n_values, note).
+    """
+    import selectors
+    import signal
+
     budget = float(os.environ.get("SPH_NCA_BENCH_BUDGET", "900"))
-    proc = subprocess.run(
+    proc = subprocess.Popen(
         [sys.executable, __file__],
         env={**os.environ, "SPH_NCA_BENCH_INNER": "1"},
-        capture_output=True,
-        timeout=budget,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
         text=True,
     )
-    for line in proc.stdout.splitlines():
-        if line.startswith("BENCH_VALUE "):
-            return float(line.split()[1])
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    deadline = time.monotonic() + budget
+    latest, n_values = None, 0
+    stalled = False
+    buf = ""
+    try:
+        while True:
+            remain = deadline - time.monotonic()
+            if remain <= 0:
+                stalled = True
+                break
+            if not sel.select(timeout=min(remain, 5.0)):
+                if proc.poll() is not None:
+                    break
+                continue
+            chunk = proc.stdout.read(4096)
+            if not chunk:  # EOF: child exited (or closed stdout)
+                break
+            buf += chunk
+            while "\n" in buf:
+                line, buf = buf.split("\n", 1)
+                if line.startswith("BENCH_VALUE "):
+                    latest = float(line.split()[1])
+                    n_values += 1
+    finally:
+        sel.close()
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+        try:
+            _, err = proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            err = ""
+
+    if latest is not None:
+        note = ""
+        if stalled or n_values < 3:
+            note = (
+                f"partial: {n_values}/3 reps completed before "
+                f"{'wall budget' if stalled else 'child exit'}"
+            )
+        return latest, n_values, note
+    if stalled:
+        raise subprocess.TimeoutExpired(cmd="bench inner", timeout=budget)
     raise RuntimeError(
-        f"inner bench rc={proc.returncode}: {proc.stderr[-400:]}"
+        f"inner bench rc={proc.returncode}: {(err or '')[-400:]}"
     )
 
 
@@ -231,23 +288,24 @@ def main():
         return 0
 
     try:
-        value = run_bench_watchdogged()
+        value, n_values, note = run_bench_watchdogged()
     except subprocess.TimeoutExpired:
         emit(outage_record("bench hung after probe OK (tunnel stalled "
-                           "mid-run); wall budget exhausted"))
+                           "mid-run, no completed rep); budget exhausted"))
         return 0
     except Exception as e:  # tunnel died mid-run, OOM, etc.
         emit(outage_record(f"bench failed after probe OK: {e!r}"[:500]))
         return 0
 
-    emit(
-        {
-            "metric": METRIC,
-            "value": value,
-            "unit": UNIT,
-            "vs_baseline": value / NORTH_STAR,
-        }
-    )
+    record = {
+        "metric": METRIC,
+        "value": value,
+        "unit": UNIT,
+        "vs_baseline": value / NORTH_STAR,
+    }
+    if note:
+        record["detail"] = note
+    emit(record)
     return 0
 
 
