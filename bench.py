@@ -197,6 +197,113 @@ def run_bench() -> float:
     return BATCH * N_POINTS * STEPS / best
 
 
+def run_bench_train() -> dict:
+    """Training-step (BPTT) throughput at bench scale: the reference's
+    hot loop is training (train.py:295-318), so parity claims need a
+    measured TRAIN pps, not only forward rollouts (VERDICT r4 item 3).
+
+    Measures one full optimizer iteration — batch-8, 100k-point,
+    64-step band-engine rollout, MSE-on-RGBA loss, BPTT (per-step
+    remat) + Adam update — and the matching forward-only rollout for
+    the fwd:bwd ratio. Run via `python bench.py --train` (auxiliary
+    mode; the driver contract is the argless forward bench)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sph_nca_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from sph_nca_tpu.models import SPHNCAConfig, init_params
+    from sph_nca_tpu.models.nca import to_rgba
+    from sph_nca_tpu.models.surface import (
+        normalize,
+        orthogonalize,
+        rollout_mesh_batched,
+    )
+    from sph_nca_tpu.ops.bands import build_band_engine
+
+    x_np = fibonacci_sphere(N_POINTS)
+    area_per_point = 4.0 * np.pi * 0.8**2 / N_POINTS
+    h = float(np.sqrt(30.0 * area_per_point / np.pi))
+    eng = build_band_engine(x_np, h, table_dtype="bfloat16")
+
+    cfg = SPHNCAConfig(normalize_perception=1.0 / h)
+    params = init_params(jax.random.key(0), cfg)
+    nrm = jnp.asarray(x_np / np.linalg.norm(x_np, axis=-1, keepdims=True))
+    t0r = jax.random.normal(jax.random.key(5), (BATCH, N_POINTS, 3))
+    tan0 = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
+    A0 = jax.random.uniform(
+        jax.random.key(1), (BATCH, N_POINTS, cfg.channels)
+    )
+    target = jax.random.uniform(jax.random.key(7), (N_POINTS, 4))
+
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    # eng rides as a pytree ARGUMENT (like run_bench): closing over it
+    # would embed the GB-scale tables as HLO constants, which the axon
+    # remote-compile endpoint rejects (HTTP 413).
+    def loss_fn(p, e, A, t, key):
+        fA, _ = rollout_mesh_batched(
+            p, cfg, e, A, nrm, t, key, STEPS, h,
+            mlp_dtype="bfloat16", unroll=1, remat=True,
+        )
+        return jnp.mean((to_rgba(fA) - target[None]) ** 2)
+
+    @jax.jit
+    def train_step(p, s, e, A, t, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, e, A, t, key)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    fwd = jax.jit(
+        lambda p, e, A, t, key: rollout_mesh_batched(
+            p, cfg, e, A, nrm, t, key, STEPS, h,
+            mlp_dtype="bfloat16", unroll=1, remat=True,
+        )[0]
+    )
+
+    def bench_calls(fn, n_reps=3):
+        best = float("inf")
+        for rep in range(n_reps):
+            t0 = time.perf_counter()
+            out = fn(jax.random.key(30 + rep))
+            # host readback forces completion under the axon tunnel
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+            best = min(best, time.perf_counter() - t0)
+            print(f"BENCH_TRAIN_REP {rep} {time.perf_counter() - t0:.3f}s",
+                  flush=True)
+        return best
+
+    # warmup/compile both programs
+    p2, s2, loss0 = train_step(
+        params, opt_state, eng, A0, tan0, jax.random.key(2)
+    )
+    np.asarray(loss0)
+    np.asarray(fwd(params, eng, A0, tan0, jax.random.key(2)).ravel()[:1])
+
+    t_train = bench_calls(
+        lambda k: train_step(params, opt_state, eng, A0, tan0, k)[2]
+    )
+    t_fwd = bench_calls(lambda k: fwd(params, eng, A0, tan0, k))
+
+    pps = BATCH * N_POINTS * STEPS / t_train
+    return {
+        "metric": (
+            "train particle-steps/sec, 100k-point surface, batch 8, "
+            "64-step BPTT (per-step remat) + Adam"
+        ),
+        "value": pps,
+        "unit": "particle-steps/sec",
+        "train_step_s": t_train,
+        "fwd_rollout_s": t_fwd,
+        "fwd_bwd_ratio": t_train / t_fwd,
+        "loss0": float(loss0),
+    }
+
+
 def run_bench_watchdogged() -> tuple:
     """run_bench in a subprocess with a wall-clock budget — an axon
     tunnel that dies MID-benchmark stalls the rollout without raising,
@@ -267,6 +374,9 @@ def run_bench_watchdogged() -> tuple:
 
 
 def main():
+    if "--train" in sys.argv:
+        emit(run_bench_train())
+        return 0
     if os.environ.get("SPH_NCA_BENCH_INNER"):
         print(f"BENCH_VALUE {run_bench()}")
         return 0

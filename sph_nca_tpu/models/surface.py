@@ -435,6 +435,7 @@ def rollout_mesh_batched(
     w_multiplier: float = 1.0,
     mlp_dtype: Optional[str] = None,
     unroll: int = 1,
+    remat: bool = False,
 ):
     """Batch-B mesh/3D-surface rollout on the batched-lane engine — the
     aggregate-throughput form of rollout_mesh_cells (reference
@@ -505,6 +506,13 @@ def rollout_mesh_batched(
         )
         return (nSB, ntd), None
 
+    if remat:
+        # BPTT: save only the [C, M, ch*B] state + tangent carries per
+        # step (~80 MB/step at the 100k bench shape) and recompute the
+        # 48-lane perception intermediates in the backward pass —
+        # without this, 64-step training rollouts at bench scale
+        # overflow the 16 GB HBM.
+        body = jax.checkpoint(body, prevent_cse=False)
     (final_S, td_prev), _ = jax.lax.scan(
         body, (SB0, td0), (keys, first), unroll=unroll
     )
