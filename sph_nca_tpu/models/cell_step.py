@@ -269,6 +269,9 @@ def nca_step_cells_batched(
     perception_transform=None,
     block_chunks: int = 1,
     blur_extra: Optional[Array] = None,  # [C, M, Ke] lanes to co-blur
+    split_d: bool = False,  # hand the transform a d-tuple of gradient
+    # components (skips the sublane->lane gaB concat, see
+    # ops/bands.perceive_band_batched); requires perception_transform
 ) -> Array:
     """One NCA step over B same-geometry rollouts batched into the lane
     dimension (ops/batched.py layout). Semantically nca_step_cells per
@@ -297,18 +300,20 @@ def nca_step_cells_batched(
     f = SB.shape[-1] // b
     rows = C * M
 
+    if split_d and perception_transform is None:
+        raise ValueError("split_d requires a perception_transform")
     transform_aux = None
     if blur_extra is not None:
         gaB, pre_sm, extra_bl = perceive_cells_batched(
             eng, SB, b, cfg.use_alpha, block_chunks=block_chunks,
-            out_dtype=mlp_dtype, extra=blur_extra,
+            out_dtype=mlp_dtype, extra=blur_extra, split_d=split_d,
         )
         prev_mask = pre_sm > ALIVE_THRESHOLD
         gaB, transform_aux = perception_transform(gaB, extra_bl)
     else:
         gaB, pre_sm = perceive_cells_batched(
             eng, SB, b, cfg.use_alpha, block_chunks=block_chunks,
-            out_dtype=mlp_dtype,
+            out_dtype=mlp_dtype, split_d=split_d,
         )  # [C, M, D*B*F] d-major lanes, [C, M, B]
         prev_mask = pre_sm > ALIVE_THRESHOLD
         if perception_transform is not None:
@@ -383,10 +388,15 @@ def _update_core(
         jax.lax.Precision.DEFAULT if mlp_dtype else jax.lax.Precision.HIGH
     )
 
-    if (mlp_impl or _MLP_IMPL_DEFAULT) == "sublane":
+    impl = mlp_impl or _MLP_IMPL_DEFAULT
+    if impl == "sublane":
         return _update_core_sublane(
             params, cfg, SB2, gaB, b, f, key, h, fire_rate, ydt, scale,
             prec,
+        )
+    if impl == "pallas":
+        return _update_core_pallas(
+            params, cfg, SB2, gaB, b, f, key, h, fire_rate, ydt, scale,
         )
 
     w1x, b1x, w2x, b2x = _blockdiag_mlp_weights(
@@ -435,6 +445,64 @@ def _update_core(
     )  # [rows, B*F] in {0, 1} (exact: one-hot matmul of exact 0/1)
     # select, not lerp: SB2 + 1*(nS - SB2) can differ from nS by 1 ulp
     # vs the reference's torch.where (drift compounds in long rollouts)
+    return jnp.where(fire > 0.5, nS, SB2)
+
+
+def _update_core_pallas(
+    params: MLPParams,
+    cfg: SPHNCAConfig,
+    SB2: Array,  # [rows, B*F]
+    gaB: Array,  # [..., D*B*F]
+    b: int,
+    f: int,
+    key: Array,
+    h,
+    fire_rate: float,
+    ydt,
+    scale,
+) -> Array:
+    """Fused Pallas update MLP (ops/pallas/mlp_kernel.py): the sample-
+    major restack happens INSIDE VMEM (vreg shuffles), so the shared
+    1x-FLOP per-sample weights run without blockdiag's 8x redundancy
+    and without sublane's HBM relayouts. Output column groups match
+    blockdiag exactly, so the update-rule epilogue is shared."""
+    from ..ops.batched import expand_lanes
+    from ..ops.pallas.mlp_kernel import mlp_fused
+
+    c = cfg.channels
+    rows = SB2.shape[0]
+    bf = b * f
+
+    # per-sample weights, perception rescale folded into the gA rows
+    w1 = params.w1.astype(ydt)
+    w1k = jnp.concatenate(
+        [w1[:f], jnp.asarray(scale, ydt) * w1[f:]], axis=0
+    )  # [3F, hid]
+    b1 = params.b1.astype(jnp.float32)[None]  # [1, hid]
+    w2 = params.w2.astype(ydt)
+    if cfg.update_rule not in ("gated", "orig"):
+        raise ValueError(f"unknown update rule {cfg.update_rule!r}")
+    if cfg.update_rule == "orig":
+        w2 = w2[:, :c]
+    b2 = params.b2.astype(jnp.float32)[None, : w2.shape[-1]]  # [1, K]
+
+    tile = next((t for t in (1024, 512, 256, 128, 64, 32, 16, 8)
+                 if rows % t == 0), rows)
+    ga2 = gaB.reshape(rows, -1)[:, : 2 * bf].astype(ydt)
+    g_pre, d_pre, m_pre = mlp_fused(
+        SB2.astype(ydt), ga2, w1k, b1, w2, b2, b, f, tile
+    )
+
+    if cfg.update_rule == "gated":
+        gate = jax.nn.sigmoid(g_pre)
+        delta = jnp.tanh(d_pre)
+        mult = expand_lanes(jax.nn.sigmoid(m_pre), f)
+        nS = SB2 * gate + delta * mult
+    else:  # orig
+        nS = SB2 + g_pre * (cfg.fire_rate / fire_rate)
+
+    u = jax.random.uniform(key, (rows, b))
+    fire = expand_lanes((u <= fire_rate).astype(nS.dtype), f)
     return jnp.where(fire > 0.5, nS, SB2)
 
 

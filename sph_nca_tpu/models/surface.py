@@ -391,14 +391,36 @@ def _project_lanes_batchedT(gaB: Array, nc: Array, tB: Array, b: int,
     return _project_td(gaB, nd, td, b)
 
 
-def _project_td(gaB: Array, nd: tuple, td: tuple, b: int) -> Array:
+def _project_td(gaB: Array, nd: tuple, td: tuple, b: int,
+                include_normal: bool = True) -> Array:
     """Component-tuple core of _project_lanes_batchedT (tangents/normals
-    pre-split, in any dtype — cast here to follow gaB's dtype)."""
-    C, M = gaB.shape[0], gaB.shape[1]
-    bf = gaB.shape[-1] // 3
+    pre-split, in any dtype — cast here to follow gaB's dtype).
+
+    ``include_normal=False`` drops the projected normal component: the
+    reference computes it (project_tangent_space, nca.py:325-330) but
+    its feature process consumes only Av[..., 0] and Av[..., 1]
+    (nca.py:23-31), so inside a rollout the normal lanes are dead — a
+    third of the projection work plus a [rows, 3*B*F] concat that the
+    MLP immediately re-slices (profiled 0.26 ms/step of relayout copy
+    at bench scale).
+
+    ``gaB`` may be a 3-tuple of per-axis components [C, M, B*F] (the
+    perceive ``split_d=True`` form) — preferred: the lane-concat'd
+    [C, M, 3*B*F] form costs a sublane->lane relayout that this
+    function immediately undoes."""
+    if isinstance(gaB, (tuple, list)):
+        C, M = gaB[0].shape[0], gaB[0].shape[1]
+        bf = gaB[0].shape[-1]
+        rows = C * M
+        ga = [g.reshape(rows, bf) for g in gaB]
+    else:
+        C, M = gaB.shape[0], gaB.shape[1]
+        bf = gaB.shape[-1] // 3
+        rows = C * M
+        ga = [gaB.reshape(rows, 3 * bf)[:, i * bf : (i + 1) * bf]
+              for i in range(3)]
     f = bf // b
-    rows = C * M
-    dt = gaB.dtype  # follow the perception dtype (bf16 throughput mode)
+    dt = ga[0].dtype  # follow the perception dtype (bf16 throughput)
     td = [t.astype(dt) for t in td]
     nd = [x.astype(dt) for x in nd]
     # bitangent = n x t, computed in [rows, B] blocks (n broadcasts)
@@ -407,12 +429,14 @@ def _project_td(gaB: Array, nd: tuple, td: tuple, b: int) -> Array:
         nd[2] * td[0] - nd[0] * td[2],
         nd[0] * td[1] - nd[1] * td[0],
     ]
-    ga = [gaB.reshape(rows, 3 * bf)[:, i * bf : (i + 1) * bf]
-          for i in range(3)]
     tE = [_expand_lanes(td[i], f) for i in range(3)]
     bE = [_expand_lanes(bd[i], f) for i in range(3)]
     out_t = ga[0] * tE[0] + ga[1] * tE[1] + ga[2] * tE[2]
     out_b = ga[0] * bE[0] + ga[1] * bE[1] + ga[2] * bE[2]
+    if not include_normal:
+        return jnp.concatenate([out_t, out_b], axis=-1).reshape(
+            C, M, 2 * bf
+        )
     out_n = ga[0] * nd[0] + ga[1] * nd[1] + ga[2] * nd[2]
     return jnp.concatenate([out_t, out_b, out_n], axis=-1).reshape(
         C, M, 3 * bf
@@ -496,13 +520,15 @@ def rollout_mesh_batched(
             ntd = tuple(
                 jnp.where(is_first, t, dt) for t, dt in zip(td, dtd)
             )
-            return _project_td(ga, nd, ntd, b), ntd
+            return _project_td(ga, nd, ntd, b,
+                               include_normal=False), ntd
 
         nSB, ntd = nca_step_cells_batched(
             params, cfg, eng, SB, b, k, h,
             fire_rate=fire_rate, mlp_dtype=mlp_dtype,
             perception_transform=transform,
             blur_extra=mt.reshape(C, M, 4 * b),
+            split_d=True,
         )
         return (nSB, ntd), None
 
@@ -614,7 +640,9 @@ def rollout_mesh_batched_dual(
         nSB = nca_step_cells_batched(
             params, cfg, eng, SB, b, k, h,
             fire_rate=fire_rate, mlp_dtype=mlp_dtype,
-            perception_transform=lambda ga: _project_td(ga, nd, td, b),
+            perception_transform=lambda ga: _project_td(
+                ga, nd, td, b, include_normal=False),
+            split_d=True,
         )
         w = _diffuse_weights(nSB, b)
         mt = _diffuse_mt(w, td, b, w_multiplier)

@@ -112,7 +112,7 @@ def _win_gather_slots(slot_flat: Array, wc: Array, m: int) -> Array:
 
 
 @partial(jax.jit, static_argnames=("b", "use_alpha", "block_chunks",
-                                   "out_dtype"))
+                                   "out_dtype", "split_d"))
 def perceive_cells_batched(
     eng,
     SB: Array,  # [C, M, B*F]
@@ -121,6 +121,7 @@ def perceive_cells_batched(
     out_dtype=None,
     block_chunks: int = 1,
     extra: Optional[Array] = None,  # [C, M, Ke] extra lanes to blur
+    split_d: bool = False,  # return gaB as a d-tuple (no lane concat)
 ) -> Tuple[Array, ...]:
     """Fused batched perception + pre-step life-mask blur.
 
@@ -148,7 +149,20 @@ def perceive_cells_batched(
 
     if isinstance(eng, BandEngine):
         return perceive_band_batched(eng, SB, b, use_alpha,
-                                     out_dtype=out_dtype, extra=extra)
+                                     out_dtype=out_dtype, extra=extra,
+                                     split_d=split_d)
+    if split_d:
+        # cell engine: fall back to slicing the concat (the relayout
+        # saving is a band-engine layout property)
+        out = perceive_cells_batched(eng, SB, b, use_alpha,
+                                     out_dtype=out_dtype,
+                                     block_chunks=block_chunks,
+                                     extra=extra)
+        f = SB.shape[-1]
+        ga = out[0]
+        d = ga.shape[-1] // f
+        parts = tuple(ga[..., i * f : (i + 1) * f] for i in range(d))
+        return (parts,) + tuple(out[1:])
     if eng.blk_md is None:
         raise ValueError("engine was built without pair_tables")
     c, m, d = eng.xs.shape

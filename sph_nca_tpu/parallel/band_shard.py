@@ -710,7 +710,7 @@ def rollout_mesh_band_sharded(
             ntd = tuple(
                 jnp.where(is_first, t, dt) for t, dt in zip(td, dtd)
             )
-            gaB = _project_td(gaB, nd, ntd, b)
+            gaB = _project_td(gaB, nd, ntd, b, include_normal=False)
             prev_mask = pre_sm > ALIVE_THRESHOLD
             nS = _update_core(
                 params, cfg, Xc.reshape(rows_s, b * f),

@@ -171,6 +171,7 @@ def test_sharded_rollout_grads_match_fr1(rng):
     assert rel_err(gr[1], gs[1].reshape(gr[1].shape)) < 1e-3
 
 
+@pytest.mark.smoke
 def test_comm_accounting(rng):
     """The export halo is a small fraction of the state: the whole point
     of the boundary exchange vs the all_gather-the-state fallback."""

@@ -73,6 +73,7 @@ def test_scatter_roundtrip(rng):
                                np.asarray(A[0]))
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("periodic", [False, True])
 def test_volume_and_count_match_dense(rng, periodic):
     x, eng, _ = scene(rng, periodic)

@@ -61,6 +61,7 @@ def test_volume_blur_gradient_match_dense(rng, dim, periodic):
     )
 
 
+@pytest.mark.smoke
 def test_nca_step_cells_matches_graph_path(rng):
     """With fire_rate=1 the cell step must agree with the graph step."""
     m, h = 24, 0.2

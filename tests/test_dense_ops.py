@@ -58,6 +58,7 @@ def _numpy_oracle_blur(x, v, A, h):
     return norm * sa
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("dim", [2, 3])
 def test_volume_matches_numpy_oracle(rng, dim):
     x = rng.uniform(-0.5, 0.5, size=(40, dim)).astype(np.float32)

@@ -96,6 +96,7 @@ def _step_cells(model, x, A, h, steps, use_pallas):
     return np.asarray(eng.gather_back(S))
 
 
+@pytest.mark.smoke
 def test_golden_step_graph_engine(fix, model):
     nA = _step_graph(model, fix["x"], fix["A0"], float(fix["h"]), 1)
     np.testing.assert_allclose(nA, fix["nA1"], rtol=2e-4, atol=2e-5)
@@ -170,6 +171,7 @@ def test_golden_step_batched_lane_engine(fix, model):
         np.testing.assert_allclose(out[i], fix["nA1"], rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.smoke
 def test_golden_step_band_engine(fix, model):
     """The BAND engine (ops/bands.py — the round-3 flagship bench.py
     measures, also the training default) reproduces the reference math

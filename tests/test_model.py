@@ -53,6 +53,7 @@ def test_orig_rule_zero_init_is_identity_when_masked():
     assert np.allclose(np.asarray(nA), np.asarray(A), atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_step_shapes_and_fire_rate_zero_freezes_state():
     x, g, h = small_scene()
     cfg = SPHNCAConfig()

@@ -265,6 +265,7 @@ def test_sharded_perception_adjoint_matches():
     )
 
 
+@pytest.mark.smoke
 def test_batched_lane_rollout_sharded_matches_unsharded():
     """Batched-lane rollout (ops/batched.py) sharded over the particle
     axis via GSPMD: pair tables stay device-local (the dominant memory),
