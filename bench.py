@@ -52,10 +52,10 @@ METRIC = (
 UNIT = "particle-steps/sec"
 
 # Best verified driver-contract bench.py measurement (round 5,
-# 2026-08-19, runs/bench_r5_splitd.json: 121.1M on the real chip after
-# the split_d gaB-relayout removal). Reported — clearly flagged — only
+# 2026-08-19, runs/bench_r5_bf16da.json: 122.8M on the real chip after
+# split_d + bf16 pre-activations). Reported — clearly flagged — only
 # when the TPU is unreachable for the whole probe window.
-LAST_GOOD = 121.1e6
+LAST_GOOD = 122.8e6
 LAST_GOOD_ROUND = 5
 
 # Probe budget: attempts x (probe timeout + sleep). Overridable so a

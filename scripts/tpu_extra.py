@@ -42,7 +42,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sph_nca_jax_cache")
+    from sph_nca_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from sph_nca_tpu.models import SPHNCAConfig, init_params
     from sph_nca_tpu.models.surface import (
@@ -60,11 +61,10 @@ def main():
     nrm_np = x_np / np.linalg.norm(x_np, axis=-1, keepdims=True)
 
     grid = [
-        dict(batch=8, unroll=4, donate=False),
-        dict(batch=8, unroll=8, donate=False),
+        dict(batch=8, unroll=2, donate=True),
         dict(batch=8, unroll=4, donate=True),
-        dict(batch=16, unroll=4, donate=False),
-        dict(batch=16, unroll=4, donate=True),
+        dict(batch=8, unroll=6, donate=True),
+        dict(batch=8, unroll=8, donate=True),
     ]
 
     # the engine is geometry-only (batch rides the activation lanes)

@@ -420,9 +420,12 @@ def _update_core(
         + b1x,
         0.0,
     )
+    # bf16 throughput mode keeps the pre-activation in bf16 (halves the
+    # [rows, B*(2C+1)] write — the mode already rounds hmid to bf16, so
+    # this stays in its documented accuracy class); f32 mode is exact.
     dA = (
         jnp.matmul(hmid, w2x, precision=prec) + b2x
-    ).astype(jnp.float32)  # columns are lane-aligned groups (see above)
+    ).astype(ydt if mlp_dtype else jnp.float32)
 
     # per-sample [rows, B] masks expand to [rows, B*F] lanes via one-hot
     # MXU matmuls (ops/batched.expand_lanes) — jnp.repeat lowers to
