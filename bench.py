@@ -42,7 +42,13 @@ import numpy as np
 
 N_POINTS = 102_400
 BATCH = 8
-STEPS = 64
+# 128 = the reference test CLI's own rollout default (test.py:38
+# --steps 128). Rounds 1-5a used 64, which under-amortized the axon
+# tunnel's ~30-40 ms fixed per-call dispatch cost by ~0.4 ms/step
+# (measured: 64/128/256 steps = 122.7/131.1/136.2M pps, same compiled
+# step) — 128 matches the reference workload and reports the
+# sustained-rollout rate.
+STEPS = 128
 NORTH_STAR = 1e9  # particle-steps/sec (BASELINE.json)
 
 METRIC = (
@@ -52,10 +58,11 @@ METRIC = (
 UNIT = "particle-steps/sec"
 
 # Best verified driver-contract bench.py measurement (round 5,
-# 2026-08-19, runs/bench_r5_bf16da.json: 122.8M on the real chip after
-# split_d + bf16 pre-activations). Reported — clearly flagged — only
-# when the TPU is unreachable for the whole probe window.
-LAST_GOOD = 122.8e6
+# 2026-08-19, runs/bench_r5_128step.json: 131.6M on the real chip —
+# split_d + bf16 pre-activations, 128-step rollouts). Reported —
+# clearly flagged — only when the TPU is unreachable for the whole
+# probe window.
+LAST_GOOD = 131.6e6
 LAST_GOOD_ROUND = 5
 
 # Probe budget: attempts x (probe timeout + sleep). Overridable so a
@@ -154,8 +161,9 @@ def run_bench() -> float:
     tan0 = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
 
     # unroll=4 + donated state/tangent carries: swept on the real chip
-    # (runs/tpu_extra_0819.jsonl) — 110.3M (unroll=2) -> 113.4M pps;
-    # unroll=8 and batch=16 both regress.
+    # (runs/tpu_extra_0819.jsonl, re-swept post-split_d in
+    # runs/tpu_extra_r5.jsonl: unroll 2/4/6/8 = 121.2/121.9/122.2/
+    # 115.6M at 64 steps — 4 and 6 within noise, 8 regresses).
     roll = jax.jit(
         lambda e, A, t, key: rollout_mesh_batched(
             params, cfg, e, A, nrm, t, key, STEPS, h,
@@ -203,10 +211,13 @@ def run_bench_train() -> dict:
     measured TRAIN pps, not only forward rollouts (VERDICT r4 item 3).
 
     Measures one full optimizer iteration — batch-8, 100k-point,
-    64-step band-engine rollout, MSE-on-RGBA loss, BPTT (per-step
-    remat) + Adam update — and the matching forward-only rollout for
-    the fwd:bwd ratio. Run via `python bench.py --train` (auxiliary
-    mode; the driver contract is the argless forward bench)."""
+    64-step band-engine rollout (training rollouts are 32-96 steps in
+    the reference, train.py; 64 also bounds the remat carries to ~5 GB
+    HBM), MSE-on-RGBA loss, BPTT (per-step remat) + Adam update — and
+    the matching forward-only rollout for the fwd:bwd ratio. Run via
+    `python bench.py --train` (auxiliary mode; the driver contract is
+    the argless forward bench)."""
+    TRAIN_STEPS = 64
     import jax
     import jax.numpy as jnp
     import optax
@@ -247,7 +258,7 @@ def run_bench_train() -> dict:
     # remote-compile endpoint rejects (HTTP 413).
     def loss_fn(p, e, A, t, key):
         fA, _ = rollout_mesh_batched(
-            p, cfg, e, A, nrm, t, key, STEPS, h,
+            p, cfg, e, A, nrm, t, key, TRAIN_STEPS, h,
             mlp_dtype="bfloat16", unroll=1, remat=True,
         )
         return jnp.mean((to_rgba(fA) - target[None]) ** 2)
@@ -260,7 +271,7 @@ def run_bench_train() -> dict:
 
     fwd = jax.jit(
         lambda p, e, A, t, key: rollout_mesh_batched(
-            p, cfg, e, A, nrm, t, key, STEPS, h,
+            p, cfg, e, A, nrm, t, key, TRAIN_STEPS, h,
             mlp_dtype="bfloat16", unroll=1, remat=True,
         )[0]
     )
@@ -289,7 +300,7 @@ def run_bench_train() -> dict:
     )
     t_fwd = bench_calls(lambda k: fwd(params, eng, A0, tan0, k))
 
-    pps = BATCH * N_POINTS * STEPS / t_train
+    pps = BATCH * N_POINTS * TRAIN_STEPS / t_train
     return {
         "metric": (
             "train particle-steps/sec, 100k-point surface, batch 8, "
