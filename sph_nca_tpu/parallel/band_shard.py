@@ -244,38 +244,78 @@ def shard_band_engine(
         out = np.where(g64 // gps == s, own, halo)
         return np.where(valid, out, 0).astype(np.int32)
 
-    # ---- per-shard far buckets (block counts padded to the max) -------
-    fg_l, ft_l, fm_l = [], [], []
-    # per-shard assembly order for far_perm: bucket rows then zero row
-    perm = np.zeros((k, S), np.int32)
-    row_cursor = np.zeros(k, np.int64)
-    shard_rows = []  # per bucket: [k] real row counts
+    # ---- per-shard far buckets: rank-profile rebucketing ---------------
+    # Slicing the GLOBAL width-class buckets per shard pads each bucket's
+    # block count to the max across shards — measured 1.89x far work at
+    # k=8 on the 32k sphere (runs/scaling_trend.md round 5). SPMD needs
+    # identical shapes on every shard, but each shard may fill them with
+    # ITS OWN blocks: sort each shard's far blocks by true width
+    # descending and bucket the RANK-PROFILE width R[i] = max_s
+    # width(i-th widest block of shard s) — the floor for identical
+    # per-shard shapes (1.10x here; <=16 contiguous rank buckets via the
+    # same padding-optimal DP reach ~1.15x). Zero-padded table rows are
+    # inert (zero columns, grp 0), exactly like the global build's pads.
+    cols = far_tabs[0].shape[-1] if far_tabs else 0
+    tdtype = far_tabs[0].dtype if far_tabs else np.float32
+    mdtype = far_vwmask[0].dtype if far_vwmask else np.float32
+    per_shard = [[] for _ in range(k)]  # (w, grps, valid, tab, mask, lb)
     for blks, grps, tabs, masks, valid in zip(far_blocks, far_groups,
                                               far_tabs, far_vwmask,
                                               valid_l):
-        sh = blks // S if len(blks) else np.zeros(0, np.int64)
-        counts = [int((sh == s).sum()) for s in range(k)]
-        nbt = max(1, max(counts))
-        Wt = grps.shape[1]
-        gk = np.zeros((k, nbt, Wt), np.int32)
-        tk = np.zeros((k, nbt) + tabs.shape[1:], tabs.dtype)
-        mk = np.zeros((k, nbt) + masks.shape[1:], masks.dtype)
-        for s in range(k):
-            sel = np.where(sh == s)[0]
-            if len(sel):
-                gk[s, : len(sel)] = remap_groups(s, grps[sel], valid[sel])
-                tk[s, : len(sel)] = tabs[sel]
-                mk[s, : len(sel)] = masks[sel]
-                perm[s, blks[sel] - s * S] = (
-                    row_cursor[s] + np.arange(len(sel))
-                )
-            # pad rows have zero tables: never selected by perm
-        fg_l.append(gk)
-        ft_l.append(tk)
-        fm_l.append(mk)
-        row_cursor += nbt
-        shard_rows.append(counts)
-    total_rows = int(row_cursor[0]) if len(fg_l) else 0
+        if not len(blks):
+            continue
+        sh = blks // S
+        w = valid.sum(1)
+        for i in range(len(blks)):
+            s = int(sh[i])
+            per_shard[s].append(
+                (int(w[i]), grps[i], valid[i], tabs[i], masks[i],
+                 int(blks[i] - s * S))
+            )
+    for p in per_shard:
+        p.sort(key=lambda r: -r[0])
+    n_ranks = max((len(p) for p in per_shard), default=0)
+
+    fg_l, ft_l, fm_l = [], [], []
+    perm = np.zeros((k, S), np.int32)
+    total_rows = 0
+    if n_ranks:
+        from ..ops.bands import _bucket_cuts
+
+        R = np.zeros(n_ranks, np.int64)
+        for p in per_shard:
+            for i, r in enumerate(p):
+                R[i] = max(R[i], r[0])
+        cuts = _bucket_cuts(np.sort(R), 16)  # ascending bucket widths
+        # rank i -> bucket with the smallest cut >= R[i]; R descending
+        # in rank order makes each bucket a contiguous rank range
+        bucket_of = np.searchsorted(np.asarray(cuts), R)
+        row_cursor = 0
+        for bi, Wr in enumerate(cuts):
+            ranks = np.where(bucket_of == bi)[0]
+            if not len(ranks):
+                continue
+            nbt = len(ranks)
+            Wr = int(Wr)
+            gk = np.zeros((k, nbt, Wr), np.int32)
+            tk = np.zeros((k, nbt, Wr * g, cols), tdtype)
+            mk = np.zeros((k, nbt, Wr * g), mdtype)
+            for s in range(k):
+                for j, rank in enumerate(ranks):
+                    if rank >= len(per_shard[s]):
+                        continue
+                    w, grow, vrow, trow, mrow, lb = per_shard[s][rank]
+                    gk[s, j, :w] = remap_groups(
+                        s, grow[None, :w], vrow[None, :w]
+                    )[0]
+                    tk[s, j, : w * g] = trow[: w * g]
+                    mk[s, j, : w * g] = mrow[: w * g]
+                    perm[s, lb] = row_cursor + j
+            fg_l.append(gk)
+            ft_l.append(tk)
+            fm_l.append(mk)
+            row_cursor += nbt
+        total_rows = row_cursor
     # blocks with no far entries point at the appended zero row
     has_far = np.zeros((k, S), bool)
     for blks in far_blocks:
