@@ -188,10 +188,16 @@ def main(argv=None) -> int:
                 t0 = orthogonalize(n_vec[i], jax.random.normal(kt, (3,)))
                 tc = tc.at[i].set(t0)
             ones = jnp.ones_like(A)
-            cmpc, ck_ = ops.suggest_capacity(np.asarray(x), 0.2, 10)
-            cgraph = ops.build_graph(x, 0.2, 10, max_per_cell=cmpc, k=ck_)
+            # pre-diffusion at radius 0.2 on a band engine: the fixed-K
+            # graph needs K~2000 here and its [N, K, 4] gather lane-pads
+            # to 26 GB at 25,600 points (see models.surface.diffuse_band)
+            from ..models.surface import diffuse_band
+            from ..ops.bands import build_band_engine as _bbe
+
+            ceng = _bbe(np.asarray(x), 0.2)
             for _ in range(50):
-                tc = diffuse(n_vec, tc, ones, cgraph, lerp_multiplier=0.0)
+                tc = diffuse_band(ceng, n_vec, tc, ones,
+                                  lerp_multiplier=0.0)
             key, ka = jax.random.split(key)
             A = jax.random.uniform(ka, A.shape)
             t = tc

@@ -61,6 +61,33 @@ def diffuse(
     return orthogonalize(n, t2)
 
 
+def diffuse_band(
+    eng,
+    n: Array,
+    t: Array,
+    A: Array,
+    *,
+    lerp_multiplier: float = 1.0,
+    w_multiplier: float = 1.0,
+) -> Array:
+    """``diffuse`` (reference nca.py:312-323) with the blur on a BAND
+    engine — the graph-free path for large point sets: a fixed-K
+    neighbor list at the reference's tangent-seeding radius 0.2 needs
+    K~2000 at 25k+ points, and its [N, K, 4] gather lane-pads 4->128
+    (26 GB at 25,600 points — OOMs one chip at COMPILE time); the band
+    blur's [rows, 4] operand is layout-native. ``eng`` must be a
+    BandEngine built at the diffusion radius."""
+    from ..ops.bands import blur_band
+
+    w = jnp.clip(cell_activity(A)[..., None], 0.0, 1.0)
+    m = (1.0 - w_multiplier) + w * w_multiplier
+    mt = jnp.concatenate([m, m * t], axis=-1)  # [N, 4]
+    mt2 = eng.gather_back(blur_band(eng, eng.scatter(mt)))
+    t2 = mt2[..., 1:] / (1e-8 + mt2[..., :1])
+    t2 = t2 + (t - t2) * (w * lerp_multiplier)
+    return orthogonalize(n, t2)
+
+
 def project_tangent_space(gA: Array, n: Array, t: Array) -> Array:
     """Rotate perception vectors into the local TBN frame
     (reference nca.py:325-330): out[..., k] = gA . {T, B, N}[k]."""

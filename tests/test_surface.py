@@ -209,3 +209,36 @@ def test_mesh_rollout_dual_engine_general_h():
     alive = np.asarray(ref_A[:, 3]) > 0.1
     assert np.allclose(np.asarray(got_t[0])[alive],
                        np.asarray(ref_t)[alive], rtol=2e-3, atol=2e-3)
+
+
+def test_diffuse_band_matches_graph(rng):
+    """diffuse_band (the graph-free large-N tangent pre-diffusion,
+    models/surface.py) matches the reference-shaped graph diffuse at
+    the seeding radius 0.2 — reference nca.py:312-323 + test.py
+    tangent consistency pass."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from bench import fibonacci_sphere
+
+    from sph_nca_tpu import ops
+    from sph_nca_tpu.models.surface import (
+        diffuse,
+        diffuse_band,
+        normalize,
+        orthogonalize,
+    )
+    from sph_nca_tpu.ops.bands import build_band_engine
+
+    x = fibonacci_sphere(2048)
+    n = jnp.asarray(x / np.linalg.norm(x, axis=-1, keepdims=True))
+    t = orthogonalize(
+        n, normalize(jnp.asarray(rng.normal(size=(2048, 3)), jnp.float32))
+    )
+    A = jnp.asarray(rng.uniform(0, 1, (2048, 16)), jnp.float32)
+    mpc, k = ops.suggest_capacity(x, 0.2, 10)
+    g = ops.build_graph(jnp.asarray(x), 0.2, 10, max_per_cell=mpc, k=k)
+    eng = build_band_engine(x, 0.2)
+    o1 = diffuse(n, t, A, g, lerp_multiplier=0.0)
+    o2 = diffuse_band(eng, n, t, A, lerp_multiplier=0.0)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-5)
