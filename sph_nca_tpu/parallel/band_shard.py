@@ -467,6 +467,8 @@ def perceive_band_sharded(
     use_alpha: bool = True,
     out_dtype=None,
     extra: Optional[Array] = None,  # [S, P, Ke]
+    split_d: bool = False,  # d-tuple gaB (no lane concat), see
+    # ops/bands.perceive_band_batched
 ):
     """Sharded twin of ops.bands.perceive_band_batched: same math, same
     outputs for this shard's rows; band halo via ppermute, far halo via
@@ -525,14 +527,15 @@ def perceive_band_sharded(
 
     Xo = XB.astype(odt) if out_dtype else XB
     gsl = loc.gsum.astype(odt)
-    gaB = jnp.concatenate(
-        [
-            (jnp.asarray(st.sig_g, odt) * mom[:, i * Pr : (i + 1) * Pr])
-            - Xo * gsl[..., i : i + 1]
-            for i in range(d)
-        ],
-        axis=-1,
-    )
+    comps = [
+        (jnp.asarray(st.sig_g, odt) * mom[:, i * Pr : (i + 1) * Pr])
+        - Xo * gsl[..., i : i + 1]
+        for i in range(d)
+    ]
+    # split_d: per-axis components as free sublane slices — the lane
+    # concat is a relayout the tangent projection undoes (the round-5
+    # single-chip win, +8.3% pps; same layout argument sharded)
+    gaB = tuple(comps) if split_d else jnp.concatenate(comps, axis=-1)
     sm = jnp.asarray(st.sig_w, sm.dtype) * sm
     if extra is None:
         return gaB, sm
@@ -742,7 +745,7 @@ def rollout_mesh_band_sharded(
             )
             gaB, pre_sm, mt2 = perceive_band_sharded(
                 loc, static, Xc, b, cfg.use_alpha, out_dtype=mlp_dtype,
-                extra=mt.reshape(S, Pr, 4 * b),
+                extra=mt.reshape(S, Pr, 4 * b), split_d=True,
             )
             dtd = _diffuse_combine(
                 mt2.reshape(rows_s, 4 * b), w, td, nd, b, lerp_multiplier
