@@ -218,6 +218,10 @@ def run_bench_train() -> dict:
     `python bench.py --train` (auxiliary mode; the driver contract is
     the argless forward bench)."""
     TRAIN_STEPS = 64
+    # scan-unroll A/B knob (forward bench gained ~2% at unroll=4; with
+    # remat=True each unrolled step is still individually checkpointed,
+    # so memory is unchanged). Swept on-chip 2026-08-19: see RESULTS.md.
+    UNROLL = int(os.environ.get("SPH_NCA_TRAIN_UNROLL", "1"))
     import jax
     import jax.numpy as jnp
     import optax
@@ -259,7 +263,7 @@ def run_bench_train() -> dict:
     def loss_fn(p, e, A, t, key):
         fA, _ = rollout_mesh_batched(
             p, cfg, e, A, nrm, t, key, TRAIN_STEPS, h,
-            mlp_dtype="bfloat16", unroll=1, remat=True,
+            mlp_dtype="bfloat16", unroll=UNROLL, remat=True,
         )
         return jnp.mean((to_rgba(fA) - target[None]) ** 2)
 
@@ -272,7 +276,7 @@ def run_bench_train() -> dict:
     fwd = jax.jit(
         lambda p, e, A, t, key: rollout_mesh_batched(
             p, cfg, e, A, nrm, t, key, TRAIN_STEPS, h,
-            mlp_dtype="bfloat16", unroll=1, remat=True,
+            mlp_dtype="bfloat16", unroll=UNROLL, remat=True,
         )[0]
     )
 
