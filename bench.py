@@ -150,15 +150,27 @@ def run_bench() -> float:
 
     cfg = SPHNCAConfig(normalize_perception=1.0 / h)
     params = init_params(jax.random.key(0), cfg)
-    A0 = jax.random.uniform(
-        jax.random.key(1), (BATCH, N_POINTS, cfg.channels)
-    )
     # the TRUE surface step (reference sample_mesh, nca.py:338-381):
     # tangent-projected perception + per-step tangent diffusion —
     # not the cheaper plain-plane step
     nrm = jnp.asarray(x_np / np.linalg.norm(x_np, axis=-1, keepdims=True))
-    t0r = jax.random.normal(jax.random.key(5), (BATCH, N_POINTS, 3))
-    tan0 = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
+
+    # ONE jitted setup program for all input generations: under the
+    # axon tunnel each eager op (uniform/normal/orthogonalize) pays its
+    # own remote compile (measured 15-60 s apiece, 2026-08-19), eating
+    # the watchdog's 900 s budget before warmup even starts.
+    @jax.jit
+    def fresh_inputs(seed):
+        A = jax.random.uniform(
+            jax.random.key(seed), (BATCH, N_POINTS, cfg.channels)
+        )
+        t0r_ = jax.random.normal(
+            jax.random.key(seed + 100), (BATCH, N_POINTS, 3)
+        )
+        tan = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r_)
+        return A, tan
+
+    A0, tan0 = fresh_inputs(1)
 
     # unroll=4 + donated state/tangent carries: swept on the real chip
     # (runs/tpu_extra_0819.jsonl, re-swept post-split_d in
@@ -171,16 +183,6 @@ def run_bench() -> float:
         )[0],
         donate_argnums=(1, 2),
     )
-
-    def fresh_inputs(seed):
-        A = jax.random.uniform(
-            jax.random.key(seed), (BATCH, N_POINTS, cfg.channels)
-        )
-        t0r_ = jax.random.normal(
-            jax.random.key(seed + 100), (BATCH, N_POINTS, 3)
-        )
-        tan = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r_)
-        return A, tan
 
     # warmup/compile; force full completion with a host readback
     # (block_until_ready alone does not block under the axon tunnel)
