@@ -113,6 +113,11 @@ def outage_record(detail: str) -> dict:
         "value": LAST_GOOD,
         "unit": UNIT,
         "vs_baseline": LAST_GOOD / NORTH_STAR,
+        "baseline_note": (
+            "reference publishes no throughput numbers (BASELINE.md); "
+            "denominator is the aspirational 1e9 pps north star for an "
+            "8-chip v5p pod slice — this measurement is ONE v5e chip"
+        ),
         "error": "tpu_unavailable",
         "value_is_last_good": True,
         "last_good": LAST_GOOD,
@@ -249,12 +254,22 @@ def run_bench_train() -> dict:
     cfg = SPHNCAConfig(normalize_perception=1.0 / h)
     params = init_params(jax.random.key(0), cfg)
     nrm = jnp.asarray(x_np / np.linalg.norm(x_np, axis=-1, keepdims=True))
-    t0r = jax.random.normal(jax.random.key(5), (BATCH, N_POINTS, 3))
-    tan0 = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
-    A0 = jax.random.uniform(
-        jax.random.key(1), (BATCH, N_POINTS, cfg.channels)
-    )
-    target = jax.random.uniform(jax.random.key(7), (N_POINTS, 4))
+
+    # one jitted setup program (see run_bench: eager setup ops each pay
+    # a remote compile through the axon tunnel)
+    @jax.jit
+    def make_inputs(seed):
+        t0r = jax.random.normal(
+            jax.random.key(seed + 4), (BATCH, N_POINTS, 3)
+        )
+        tan = jax.vmap(lambda t: orthogonalize(nrm, normalize(t)))(t0r)
+        A = jax.random.uniform(
+            jax.random.key(seed), (BATCH, N_POINTS, cfg.channels)
+        )
+        tgt = jax.random.uniform(jax.random.key(seed + 6), (N_POINTS, 4))
+        return A, tan, tgt
+
+    A0, tan0, target = make_inputs(1)
 
     opt = optax.adam(2e-3)
     opt_state = opt.init(params)
@@ -429,6 +444,11 @@ def main():
         "value": value,
         "unit": UNIT,
         "vs_baseline": value / NORTH_STAR,
+        "baseline_note": (
+            "reference publishes no throughput numbers (BASELINE.md); "
+            "denominator is the aspirational 1e9 pps north star for an "
+            "8-chip v5p pod slice — this measurement is ONE v5e chip"
+        ),
     }
     if note:
         record["detail"] = note
